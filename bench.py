@@ -1,0 +1,112 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: end-to-end Scan3D frame rate (track + fuse, 640x480, defaults
+matching the reference: trunc=5 voxels, 25-iteration GN cap) on one chip.
+vs_baseline is fps / 30: the BASELINE.md target is real-time (>30 fps)
+tracking on one v5e chip; the C++ reference publishes no numbers
+(BASELINE.json "published": {}).
+
+Secondary fields: fusion Mvoxel-updates/s, raycast Mrays/s, tracking
+iteration rate.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def timeit(fn, *args, iters=10, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    from gradient_sdf_tpu.config import FusionConfig, GridConfig, TrackerConfig
+    from gradient_sdf_tpu.data import synth
+    from gradient_sdf_tpu.models import tracker
+    from gradient_sdf_tpu.ops import fusion, normals, raycast
+    from gradient_sdf_tpu.ops import voxel_grid as vg
+
+    W, H = 640, 480
+    K = synth.KINECT_K
+    gcfg = GridConfig(voxel_size=0.01, num_blocks=2**15, table_size=2**16)
+    fcfg = FusionConfig(trunc_voxels=5.0)
+    tcfg = TrackerConfig()
+
+    world = synth.random_spheres(seed=3)
+    poses = synth.orbit_poses(n=16, radius=2.0)
+    cache = normals.build_cache(W, H, K, window=11)
+
+    fuse_jit = jax.jit(
+        lambda g, d, R, t: fusion.fuse_frame(g, d, cache, R, t, gcfg, fcfg)
+    )
+    track_jit = jax.jit(
+        lambda g, d, R, t: tracker.track_frame(
+            g, d, jnp.asarray(K), R, t, gcfg, fcfg, tcfg
+        )
+    )
+
+    # build a map from a few GT-pose frames
+    grid = vg.create(gcfg)
+    depths = []
+    for i in range(8):
+        R, t = poses[i]
+        d = synth.render_depth(world, jnp.asarray(R), jnp.asarray(t), K, W, H)
+        depths.append(d)
+        grid = fuse_jit(grid, d, jnp.asarray(R), jnp.asarray(t))
+    jax.block_until_ready(grid.dist)
+
+    R4, t4 = (jnp.asarray(poses[4][0]), jnp.asarray(poses[4][1]))
+
+    # fusion throughput: samples per frame = W*H*(2*trunc+1)
+    fuse_s = timeit(lambda: fuse_jit(grid, depths[4], R4, t4), iters=10)
+    voxel_updates = W * H * (2 * int(fcfg.trunc_voxels) + 1)
+    fusion_mvox = voxel_updates / fuse_s / 1e6
+
+    # tracking: full 25-iter budget from a perturbed pose
+    from gradient_sdf_tpu.utils import se3
+
+    xi = jnp.asarray([0.01, -0.01, 0.015, 0.008, -0.01, 0.006], jnp.float32)
+    dR, dt = se3.se3_exp(xi)
+    R0, t0 = se3.se3_mul(dR, dt, R4, t4)
+    track_s = timeit(lambda: track_jit(grid, depths[4], R0, t0), iters=5)
+
+    # raycast Mrays/s
+    rc_jit = jax.jit(
+        lambda g, R, t: raycast.render_depth_normal(
+            g, jnp.asarray(K), R, t, W, H, gcfg, fcfg, s_max=3.5
+        )
+    )
+    rc_s = timeit(lambda: rc_jit(grid, R4, t4), iters=5)
+    mrays = W * H / rc_s / 1e6
+
+    frame_s = track_s + fuse_s
+    fps = 1.0 / frame_s
+
+    result = {
+        "metric": "scan3d_fps_640x480",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 3),
+        "fusion_mvoxel_updates_per_s": round(fusion_mvox, 2),
+        "raycast_mrays_per_s": round(mrays, 3),
+        "track_ms": round(track_s * 1e3, 2),
+        "fuse_ms": round(fuse_s * 1e3, 2),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

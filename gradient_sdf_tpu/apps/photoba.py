@@ -1,0 +1,210 @@
+"""PhotoBA: photometric bundle adjustment CLI.
+
+Flag-compatible re-design of the reference app
+(`cpp/photometric_opt/src/main_photo_ba.cpp:65-347`): Phase 1 runs the same
+tracking+fusion loop as Scan3D (grad-sdf hard-wired, :214) with online
+keyframe selection — a converged frame becomes a keyframe when it passes the
+sharpness test or the gap since the last keyframe exceeds 5 (:246-259); the
+first frame is always a keyframe (see the deviation note in
+models/photo_ba.py). Phase 2 evenly subsamples keyframes to at most
+--key-frame (default 30, `sampleKeyFrame` :319-347, always keeping the
+last), runs PhotometricOptimizer.optimize() (alternating pose/dist solves),
+then the ColorUpsampler computes subvoxel albedo and exports the HR colored
+mesh + cloud (:300-311).
+
+Usage:  python -m gradient_sdf_tpu.apps.photoba --input <dir> [...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config as cfg_mod
+from ..data import loaders
+from ..models import color_upsampler, photo_ba, sharpness
+from ..models import tracker as tracker_mod
+from ..models.grad_sdf import GradSdfMap
+from ..utils import tumio
+from ..utils.timer import Timer
+
+
+def build_parser():
+    p = argparse.ArgumentParser("photoba", description="photometric BA (TPU-native)")
+    p.add_argument("--input", required=True)
+    p.add_argument("--results", default="./")
+    p.add_argument("--first", type=int, default=0)
+    p.add_argument("--last", type=int, default=-1)
+    p.add_argument("--data-type", dest="data_type", default="tum",
+                   choices=["tum", "synth", "printed", "rw", "redwood"])
+    p.add_argument("--voxel-size", dest="voxel_size", type=float, default=0.01)
+    p.add_argument("--trunc", type=float, default=5.0)
+    p.add_argument("--zmax", type=float, default=3.5)
+    p.add_argument("--key-frame", dest="key_frame", type=int, default=30,
+                   help="maximum number of keyframes used in BA")
+    p.add_argument("--coupled-poses", action="store_true",
+                   help="use the full 6Fx6F pose system (solvePoseFull)")
+    p.add_argument("--metrics-json", default=None)
+    return p
+
+
+def sample_keyframes(items: list, max_num: int) -> list:
+    """Evenly subsample to <= max_num keeping the last
+    (`sampleKeyFrame`, main_photo_ba.cpp:319-347)."""
+    if len(items) <= max_num:
+        return items
+    idx = np.linspace(0, len(items) - 1, max_num).round().astype(int)
+    idx[-1] = len(items) - 1
+    return [items[i] for i in sorted(set(idx.tolist()))]
+
+
+def run_photoba(args) -> dict:
+    T = Timer()
+    cfg = cfg_mod.preset(args.data_type)
+    cfg = dataclasses.replace(
+        cfg,
+        grid=dataclasses.replace(cfg.grid, voxel_size=args.voxel_size),
+        fusion=dataclasses.replace(cfg.fusion, trunc_voxels=args.trunc,
+                                   z_max=args.zmax),
+        photo_ba=dataclasses.replace(cfg.photo_ba,
+                                     max_keyframes=args.key_frame),
+    )
+    sharp_thr = cfg.photo_ba.sharpness_threshold
+
+    loader = loaders.make_loader(args.data_type, args.input)
+    K = loader.load_intrinsics("intrinsics.txt")
+    if K is None:
+        raise SystemExit(f"No intrinsics file found in {args.input}!")
+
+    sdf_map = GradSdfMap(cfg, with_vis=True)
+    os.makedirs(args.results, exist_ok=True)
+
+    R_cur = jnp.eye(3, dtype=jnp.float32)
+    t_cur = jnp.zeros(3, dtype=jnp.float32)
+    pose_entries = []
+    keyframes = []  # list of dicts: frame, stamp, image, pose, slot
+    invalid_frames = []
+    dist_to_last_kf = 0
+    last = None if args.last < 0 else args.last + 1
+
+    for frame in loader.frames(args.first, last):
+        i = frame.index
+        print(f"Working on frame: {i}")
+        depth = jnp.asarray(frame.depth)
+
+        if i == args.first:
+            # first frame: identity pose, always a keyframe
+            slot = len(keyframes)
+            sdf_map.setup(depth, K, kf_slot=slot)
+            keyframes.append(dict(frame=i - args.first, stamp=frame.timestamp,
+                                  image=frame.color,
+                                  pose=(np.eye(3, dtype=np.float32),
+                                        np.zeros(3, dtype=np.float32)),
+                                  slot=slot))
+        else:
+            T.tic()
+            res = tracker_mod.track_frame(
+                sdf_map.grid, depth, jnp.asarray(K), R_cur, t_cur,
+                cfg.grid, cfg.fusion, cfg.tracker,
+            )
+            T.toc("Point optimization")
+            R_cur, t_cur = res.R, res.t
+            if bool(res.converged):
+                is_kf = (
+                    sharpness.sharp_detector(frame.color, sharp_thr)
+                    or dist_to_last_kf > cfg.photo_ba.keyframe_gap
+                )
+                slot = len(keyframes) if is_kf else -1
+                T.tic()
+                sdf_map.update(depth, K, (R_cur, t_cur), kf_slot=slot)
+                T.toc("Integrate depth data into Sdf")
+                if is_kf:
+                    dist_to_last_kf = 0
+                    keyframes.append(dict(
+                        frame=i - args.first, stamp=frame.timestamp,
+                        image=frame.color,
+                        pose=(np.array(R_cur), np.array(t_cur)), slot=slot,
+                    ))
+                else:
+                    dist_to_last_kf += 1
+            else:
+                invalid_frames.append(i - args.first)
+        pose_entries.append((frame.timestamp, np.array(R_cur), np.array(t_cur)))
+
+    tumio.write_trajectory(os.path.join(args.results, "_poses.txt"), pose_entries)
+
+    # LR exports
+    sdf_map.extract_mesh(os.path.join(args.results, "mesh_lr.ply"))
+    sdf_map.extract_pc(os.path.join(args.results, "cloud_lr.ply"))
+
+    # Phase 2: subsample keyframes, run BA
+    kfs = sample_keyframes(keyframes, cfg.photo_ba.max_keyframes)
+    print(f"{len(kfs)} keyframes selected for BA")
+    images = np.stack([k["image"] for k in kfs]).astype(np.float32)
+    poses = [k["pose"] for k in kfs]
+    slots = [k["slot"] for k in kfs]
+
+    tumio.write_trajectory(
+        os.path.join(args.results, "selected_frame_poses_before_optimization.txt"),
+        [(k["stamp"], k["pose"][0], k["pose"][1]) for k in kfs],
+    )
+
+    problem, state = photo_ba.build_problem(
+        sdf_map.grid, sdf_map.vis, slots, images, poses, K, cfg.grid
+    )
+    opt = photo_ba.PhotometricOptimizer(
+        problem, state, cfg.grid, cfg.photo_ba,
+        coupled_poses=args.coupled_poses,
+    )
+    T.tic()
+    converged = opt.optimize()
+    T.toc("Photometric BA")
+
+    opt_poses = [
+        (np.array(opt.state.R[i]), np.array(opt.state.t[i]))
+        for i in range(len(kfs))
+    ]
+    tumio.write_trajectory(
+        os.path.join(args.results, "coarse_BA_poses_optimized.txt"),
+        [(k["stamp"], R, t) for k, (R, t) in zip(kfs, opt_poses)],
+    )
+    sdf_map.grid = photo_ba.write_back_dist(
+        sdf_map.grid, opt.problem, opt.state, cfg.grid
+    )
+
+    # Phase 3: color upsampling + HR exports
+    T.tic()
+    hr = color_upsampler.build_hr_voxels(sdf_map.grid, sdf_map.vis, slots, cfg.grid)
+    hr = color_upsampler.compute_color(hr, images, opt_poses, K, cfg.grid)
+    T.toc("Color upsampling")
+    color_upsampler.extract_mesh_hr(
+        hr, os.path.join(args.results, "coarse_BA_mesh_after_upsample.ply"), cfg.grid
+    )
+    color_upsampler.extract_cloud(
+        hr, os.path.join(args.results, "coarse_BA_cloud_after_upsample.ply"), cfg.grid
+    )
+
+    metrics = {
+        "keyframes": len(kfs),
+        "invalid_frames": invalid_frames,
+        "ba_converged": bool(converged),
+        "ba_energies": opt.energies,
+        "timers": T.summary(),
+    }
+    if args.metrics_json:
+        with open(args.metrics_json, "w") as f:
+            json.dump(metrics, f, indent=2)
+    return metrics
+
+
+def main(argv=None):
+    run_photoba(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

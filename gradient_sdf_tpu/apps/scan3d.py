@@ -1,0 +1,180 @@
+"""Scan3D: 3D scanning from depth — tracking + fusion CLI.
+
+Flag-compatible re-design of the reference app
+(`cpp/depth_scanning/src/main_scan_3d.cpp:62-319`):
+  --input --results --pose-file --first --last --scan-type --data-type
+  --voxel-size --trunc --zmax --save-sdf
+Flow preserved: if a GT pose file loads, run fusion-only with GT poses
+(:250-254); otherwise first frame initializes the map with identity pose and
+subsequent frames run GN tracking, fusing only converged frames (:256-266).
+Per-frame poses stream to `<results>_poses.txt` in TUM format (:267-280);
+teardown writes mesh + oriented point cloud PLYs and optional sparse SDF
+dumps (:288-311).
+
+Usage:  python -m gradient_sdf_tpu.apps.scan3d --input <dir> [...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config as cfg_mod
+from ..data import loaders
+from ..models.grad_sdf import GradSdfMap
+from ..models.pixel_sdf import PixelSdfMap
+from ..models import tracker as tracker_mod
+from ..utils import se3, tumio
+from ..utils.timer import Timer
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        "scan3d", description="3D scanning from depth (gradient-SDF, TPU-native)"
+    )
+    p.add_argument("--input", required=True, help="path to input data")
+    p.add_argument("--results", default="./", help="folder to store results")
+    p.add_argument("--pose-file", dest="pose_file", default="pose.txt",
+                   help="GT trajectory file relative to --input; if it loads, "
+                        "tracking is bypassed (fusion-only)")
+    p.add_argument("--first", type=int, default=0, help="first frame index")
+    p.add_argument("--last", type=int, default=-1, help="last frame index (inclusive)")
+    p.add_argument("--scan-type", dest="scan_type", default="grad-sdf",
+                   choices=["grad-sdf", "base-sdf"])
+    p.add_argument("--data-type", dest="data_type", default="tum",
+                   choices=["tum", "synth", "printed", "rw", "redwood"])
+    p.add_argument("--voxel-size", dest="voxel_size", type=float, default=0.01)
+    p.add_argument("--trunc", type=float, default=5.0,
+                   help="truncation distance in multiples of voxel size")
+    p.add_argument("--zmax", type=float, default=3.5, help="maximum depth")
+    p.add_argument("--save-sdf", dest="save_sdf", action="store_true")
+    p.add_argument("--metrics-json", default=None,
+                   help="optional path for per-run structured metrics")
+    return p
+
+
+def run_scan(args) -> dict:
+    T = Timer()
+    cfg = cfg_mod.preset(args.data_type)
+    cfg = dataclasses.replace(
+        cfg,
+        grid=dataclasses.replace(cfg.grid, voxel_size=args.voxel_size),
+        fusion=dataclasses.replace(
+            cfg.fusion, trunc_voxels=args.trunc, z_max=args.zmax
+        ),
+    )
+
+    loader = loaders.make_loader(args.data_type, args.input)
+    K = loader.load_intrinsics("intrinsics.txt")
+    if K is None:
+        raise SystemExit(f"No intrinsics file found in {args.input}!")
+    print("K:\n", K)
+
+    gt = loader.load_poses(args.pose_file)
+    gt_mode = gt is not None
+    if gt_mode:
+        print(f"{len(gt)} GT poses are loaded!")
+    else:
+        print("No GT poses are available!")
+
+    if args.scan_type == "grad-sdf":
+        sdf_map = GradSdfMap(cfg)
+        track_mode = "grad"
+    else:
+        sdf_map = PixelSdfMap(cfg)
+        track_mode = "trilinear"
+
+    os.makedirs(args.results, exist_ok=True)
+    pose_path = os.path.join(args.results, "_poses.txt")
+    pose_entries = []
+
+    R_cur = jnp.eye(3, dtype=jnp.float32)
+    t_cur = jnp.zeros(3, dtype=jnp.float32)
+    invalid_frames = []
+    last = None if args.last < 0 else args.last + 1
+
+    n_frames = 0
+    for frame in loader.frames(args.first, last):
+        i = frame.index
+        print(f"Working on frame: {i}")
+        T.tic()
+        depth = jnp.asarray(frame.depth)
+        T.toc("Load data")
+
+        if i == args.first:
+            T.tic()
+            if gt_mode:
+                R_cur = jnp.asarray(gt[0][1])
+                t_cur = jnp.asarray(gt[0][2])
+                sdf_map.update(depth, K, (R_cur, t_cur))
+            else:
+                sdf_map.setup(depth, K)
+            T.toc("Integrate depth data into Sdf")
+        elif gt_mode:
+            T.tic()
+            R_cur = jnp.asarray(gt[i][1])
+            t_cur = jnp.asarray(gt[i][2])
+            sdf_map.update(depth, K, (R_cur, t_cur))
+            T.toc("Integrate depth data into Sdf")
+        else:
+            T.tic()
+            res = tracker_mod.track_frame(
+                sdf_map.grid, depth, jnp.asarray(K), R_cur, t_cur,
+                cfg.grid, cfg.fusion, cfg.tracker, mode=track_mode,
+            )
+            conv = bool(res.converged)
+            T.toc("Point optimization")
+            R_cur, t_cur = res.R, res.t
+            if conv:
+                T.tic()
+                sdf_map.update(depth, K, (R_cur, t_cur))
+                T.toc("Integrate depth data into Sdf")
+            else:
+                invalid_frames.append(i)
+
+        pose_entries.append(
+            (frame.timestamp, np.asarray(R_cur), np.asarray(t_cur))
+        )
+        n_frames += 1
+
+    tumio.write_trajectory(pose_path, pose_entries)
+
+    prefix = os.path.join(args.results, "gradient_sdf")
+    T.tic()
+    if not sdf_map.extract_mesh(prefix + "_mesh_final.ply"):
+        print(f"Could not save mesh!")
+    T.toc("Save mesh to disk")
+    if hasattr(sdf_map, "extract_pc"):
+        T.tic()
+        sdf_map.extract_pc(prefix + "_cloud_final.ply")
+        T.toc("Save point cloud to disk")
+    if args.save_sdf:
+        T.tic()
+        sdf_map.save_sdf(prefix)
+        T.toc("Save sdf txt files to disk")
+
+    metrics = {
+        "frames": n_frames,
+        "invalid_frames": invalid_frames,
+        "num_blocks_active": int(sdf_map.grid.num_active),
+        "overflow": bool(sdf_map.grid.overflow),
+        "timers": T.summary(),
+    }
+    if args.metrics_json:
+        with open(args.metrics_json, "w") as f:
+            json.dump(metrics, f, indent=2)
+    return metrics
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    run_scan(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Central configuration for the framework.
+
+The reference scatters its constants across classes and `main`s
+(`cpp/include/sdf_tracker/Sdf.h:67-68,97-101`, `RigidOptimizer.h:70-76`,
+`ps_optimizer/PhotometricOptimizer.h:50-67`, `main_scan_3d.cpp:75-90`,
+`main_photo_ba.cpp:107-121`). Here everything lives in one dataclass tree
+with per-dataset presets, and the CLI flag names/semantics of the reference
+apps (`--input --results --voxel-size --trunc --scan-type --data-type …`)
+map 1:1 onto these fields.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class GridConfig:
+    """Block-sparse voxel grid geometry + capacity.
+
+    TPU-native replacement for the reference's pointer-stable voxel hash map
+    (`MapGradPixelSdf.h:65-68`): voxels live in 8x8x8 blocks stored as dense
+    SoA arrays in HBM; a fixed-capacity open-addressing hash table maps packed
+    block coordinates to block slots.
+    """
+
+    voxel_size: float = 0.01          # --voxel-size default, main_scan_3d.cpp:75
+    block_shape: int = 8              # voxels per block edge (8^3 = 512 = 4 TPU lanes)
+    num_blocks: int = 2 ** 14         # block capacity (16384 blocks = 8.4M voxels)
+    table_size: int = 2 ** 15         # hash slots; keep load factor <= 0.5
+    max_probes: int = 32              # linear probing bound
+    coord_bits: int = 10              # signed bits per packed block coordinate
+    # -> block coords in [-512, 511]; world range +-(512 * 8 * voxel_size)
+
+    @property
+    def voxels_per_block(self) -> int:
+        return self.block_shape ** 3
+
+
+@dataclasses.dataclass(frozen=True)
+class FusionConfig:
+    """TSDF+gradient fusion (reference Sdf.h + MapGradPixelSdf.cpp)."""
+
+    trunc_voxels: float = 5.0         # --trunc: T = trunc_voxels * voxel_size (main_scan_3d.cpp:76,231)
+    z_min: float = 0.5                # Sdf.h:67
+    z_max: float = 3.5                # Sdf.h:68 (--zmax overridable, main_scan_3d.cpp:77)
+    normal_sq_min: float = 0.1        # reject ||n||^2 < 0.1 (MapGradPixelSdf.cpp:95)
+    view_angle_cos_sq: float = 0.25   # reject (n.h)^2/||h||^2 < .25 (MapGradPixelSdf.cpp:98)
+    grad_scale: float = 1.2           # projective-SDF correction heuristic (MapGradPixelSdf.h:111-114)
+    normal_window: int = 11           # FALS window (main_scan_3d.cpp:183: 2*5+1)
+    max_frames: int = 1024            # visibility bitmask capacity (vis_, MapGradPixelSdf.h:70)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """Frame-to-model Gauss-Newton tracking (RigidOptimizer.h:70-76)."""
+
+    num_iterations: int = 25
+    conv_threshold: float = 1e-3      # converged when ||xi|| < conv_threshold
+    damping: float = 1.0
+    sampling: int = 1                 # pixel stride
+
+
+@dataclasses.dataclass(frozen=True)
+class PhotoBAConfig:
+    """Photometric bundle adjustment (PhotometricOptimizer.h:50-67)."""
+
+    max_iterations: int = 25
+    conv_threshold: float = 5e-4      # relative energy decrease (PhotometricOptimizer.cpp:649)
+    damping: float = 1.0
+    lambda_: float = 0.5
+    reg_weight: float = 10.0
+    loss: str = "cauchy"              # default loss enum (PhotometricOptimizer.h:66);
+    # only "trunc_l2" changes solver behavior (intensity gate, cpp:364-365);
+    # every other value — including the default — acts as plain L2.
+    max_keyframes: int = 30           # --key-frame default (main_photo_ba.cpp:79)
+    keyframe_gap: int = 5             # dist_to_last_keyframe > 5 (main_photo_ba.cpp:246)
+    sharpness_threshold: float = 0.026  # tum/printed; redwood: 0.033 (main_photo_ba.cpp:109-120)
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    width: int = 640
+    height: int = 480
+    fx: float = 525.0
+    fy: float = 525.0
+    cx: float = 319.5
+    cy: float = 239.5
+
+    def K(self):
+        import numpy as np
+
+        return np.array(
+            [[self.fx, 0.0, self.cx], [0.0, self.fy, self.cy], [0.0, 0.0, 1.0]],
+            dtype=np.float32,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh axes: rays sharded intra-host, voxel blocks cross-host."""
+
+    ray_axis: str = "rays"
+    block_axis: str = "blocks"
+    num_devices: Optional[int] = None  # None -> all local devices
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    grid: GridConfig = dataclasses.field(default_factory=GridConfig)
+    fusion: FusionConfig = dataclasses.field(default_factory=FusionConfig)
+    tracker: TrackerConfig = dataclasses.field(default_factory=TrackerConfig)
+    photo_ba: PhotoBAConfig = dataclasses.field(default_factory=PhotoBAConfig)
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
+
+    @property
+    def truncation(self) -> float:
+        return self.fusion.trunc_voxels * self.grid.voxel_size
+
+
+def preset(data_type: str, **overrides) -> PipelineConfig:
+    """Per-dataset presets mirroring the reference apps' dispatch
+    (`main_scan_3d.cpp:117-159`, `main_photo_ba.cpp:107-121`)."""
+    data_type = data_type.lower()
+    cfg = PipelineConfig()
+    if data_type in ("tum", "tumrgbd"):
+        pass  # defaults
+    elif data_type in ("synth", "synthetic"):
+        cfg = dataclasses.replace(
+            cfg,
+            fusion=dataclasses.replace(cfg.fusion, trunc_voxels=10.0),
+            camera=CameraConfig(fx=525.0, fy=525.0, cx=319.5, cy=239.5),
+        )
+    elif data_type in ("rw", "redwood"):
+        cfg = dataclasses.replace(
+            cfg,
+            photo_ba=dataclasses.replace(cfg.photo_ba, sharpness_threshold=0.033),
+        )
+    elif data_type in ("printed", "printed3d"):
+        pass
+    else:
+        raise ValueError(f"unknown data type: {data_type}")
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    return cfg

@@ -1,0 +1,146 @@
+"""Synthetic sphere world: analytic renderer + Kinect noise + ground truth.
+
+JAX port of the reference's MATLAB validation pipeline
+(`matlab/RenderSpheres.m:36-139`, `matlab/add_kinect_noise.m:50-74`):
+five random non-intersecting spheres rendered as analytic ray-casts at
+Kinect intrinsics K = [525 0 319.5; 0 525 239.5; 0 0 1], with
+disparity-domain Gaussian noise (sigma = 0.5 px) and disparity quantization.
+
+This is the framework's permanent ground-truth fixture: depth images come
+with *exact* analytic SDF values and gradients (sphere normals), so fusion /
+query / tracking accuracy can be scored quantitatively with no dataset
+download (reproduces the paper's Fig. 3 gradient-accuracy analysis,
+`matlab/GradientAnalysisSpheres.m`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import se3
+
+KINECT_K = np.array(
+    [[525.0, 0.0, 319.5], [0.0, 525.0, 239.5], [0.0, 0.0, 1.0]], dtype=np.float32
+)
+
+
+class SphereWorld(NamedTuple):
+    centers: jax.Array  # [S, 3]
+    radii: jax.Array    # [S]
+
+
+def random_spheres(seed: int = 0, n: int = 5) -> SphereWorld:
+    """Five random non-intersecting spheres, same distribution as the
+    reference (`RenderSpheres.m:46-53`): centers uniform in [-0.5, 0.5]^3,
+    radii in [0.0625, 0.5], rejection-sampled for pairwise separation."""
+    rng = np.random.RandomState(seed)
+    centers, radii = [], []
+    while len(centers) < n:
+        c = rng.rand(3) - 0.5
+        r = 0.0625 + 0.4375 * rng.rand()
+        ok = all(
+            np.linalg.norm(c - c2) > (r + r2) for c2, r2 in zip(centers, radii)
+        )
+        if ok:
+            centers.append(c)
+            radii.append(r)
+    return SphereWorld(
+        centers=jnp.asarray(np.array(centers), jnp.float32),
+        radii=jnp.asarray(np.array(radii), jnp.float32),
+    )
+
+
+def sphere_sdf(world: SphereWorld, points: jax.Array):
+    """Analytic SDF + unit gradient of the sphere union at world points (…,3)."""
+    diff = points[..., None, :] - world.centers  # (…,S,3)
+    d = jnp.linalg.norm(diff, axis=-1) - world.radii  # (…,S)
+    s = jnp.argmin(d, axis=-1)
+    sdf = jnp.min(d, axis=-1)
+    nearest = jnp.take_along_axis(diff, s[..., None, None], axis=-2)[..., 0, :]
+    grad = nearest / jnp.maximum(jnp.linalg.norm(nearest, axis=-1, keepdims=True), 1e-12)
+    return sdf, grad
+
+
+def render_depth(
+    world: SphereWorld,
+    R: jax.Array,
+    t: jax.Array,
+    K: np.ndarray = KINECT_K,
+    width: int = 640,
+    height: int = 480,
+) -> jax.Array:
+    """Analytic ray-sphere depth render under camera-to-world pose (R, t).
+
+    Solves A z^2 + B z + C = 0 per pixel per sphere exactly as
+    `RenderSpheres.m:96-120`; missed rays get depth 0.
+    """
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    u = (jnp.arange(width, dtype=jnp.float32) - cx) / fx
+    v = (jnp.arange(height, dtype=jnp.float32) - cy) / fy
+    cu, cv = jnp.meshgrid(u, v)
+    A = cu * cu + cv * cv + 1.0
+
+    # sphere centers in camera frame
+    c_cam = se3.se3_apply(*se3.se3_inv(R, t), world.centers)  # [S,3]
+    c_sq_r = jnp.sum(c_cam * c_cam, axis=-1) - world.radii**2  # [S]
+
+    B = -2.0 * (
+        cu[..., None] * c_cam[:, 0] + cv[..., None] * c_cam[:, 1] + c_cam[:, 2]
+    )  # [H,W,S]
+    disc = B * B - 4.0 * A[..., None] * c_sq_r
+    hit = disc >= 0.0
+    z = (-B - jnp.sqrt(jnp.maximum(disc, 0.0))) / (2.0 * A[..., None])
+    z = jnp.where(hit & (z > 0.0), z, jnp.inf)
+    depth = jnp.min(z, axis=-1)
+    return jnp.where(jnp.isinf(depth), 0.0, depth)
+
+
+def add_kinect_noise(depth: jax.Array, key: jax.Array) -> jax.Array:
+    """Disparity-domain Kinect noise (`add_kinect_noise.m:50-74`):
+    d = (3 - 1/z)/2.85e-3, d += 0.5*N(0,1), round, invert."""
+    mask = depth > 0.0
+    safe_z = jnp.where(mask, depth, 1.0)
+    d = (3.0 - 1.0 / safe_z) / 2.85e-3
+    d = d + 0.5 * jax.random.normal(key, depth.shape, dtype=depth.dtype)
+    d = jnp.round(d)
+    z_inv = -2.85e-3 * d + 3.0
+    return jnp.where(mask, 1.0 / z_inv, 0.0)
+
+
+def quantize_depth(depth: jax.Array, unit: float = 1e-3) -> jax.Array:
+    """16-bit PNG round-trip (`RenderSpheres.m:136`: uint16(1000*z))."""
+    return jnp.round(depth / unit) * unit
+
+
+def orbit_poses(
+    n: int = 90,
+    radius: float = 2.0,
+    height_range: tuple = (-0.3, 0.3),
+    target: np.ndarray | None = None,
+    arc: float = 2.0 * np.pi,
+) -> list:
+    """Spiral of camera-to-world look-at poses circling the sphere cluster,
+    analogous to the reference's `matlab/poses.txt` trajectory (a spiral at
+    ~2 m viewing the origin). `arc` bounds the swept angle so short
+    sequences keep realistic (small) inter-frame motion.
+    Returns [(R, t)] as numpy arrays."""
+    target = np.zeros(3) if target is None else np.asarray(target)
+    poses = []
+    for i in range(n):
+        ang = arc * i / n
+        h = height_range[0] + (height_range[1] - height_range[0]) * i / max(n - 1, 1)
+        eye = target + np.array([radius * np.cos(ang), radius * np.sin(ang), h])
+        fwd = target - eye
+        fwd = fwd / np.linalg.norm(fwd)
+        up_hint = np.array([0.0, 0.0, 1.0])
+        right = np.cross(fwd, up_hint)
+        right /= np.linalg.norm(right)
+        down = np.cross(fwd, right)
+        # camera axes: x right, y down, z forward (pinhole convention)
+        R = np.stack([right, down, fwd], axis=1).astype(np.float32)
+        poses.append((R, eye.astype(np.float32)))
+    return poses

@@ -1,0 +1,215 @@
+"""ColorUpsampler: 2x2x2 subvoxel appearance + high-res colored extraction.
+
+Re-designs `ColorUpsampler` (`cpp/include/ps_optimizer/ColorUpsampler.cpp`)
+on the block-sparse grid:
+
+  * init (:137-162): surface voxels (|dist| < sqrt(3) * voxel_size) of the
+    LR map expand to `SdfVoxelHr`: 8 subvoxel distances
+    d_k = dist + 0.25 * vs * (s_x gx + s_y gy + s_z gz) with ghat the unit
+    gradient and s in {-1,+1}^3, x varying fastest
+    (`SdfVoxel.h:91-99` / `centeredCubeCorners`, ColorUpsampler.cpp:97-110).
+  * computeColor (:334-377): per-subvoxel albedo = mean RGB over visible
+    keyframes of the projected subvoxel surface points
+    x_k = c_k - d_k * ghat, clamped to [0, 1] (`setAlbedo` :217-236);
+    a frame contributes only if ALL 8 subvoxels project in-image
+    (`getIntensity` :168-203).
+  * extractCloud (:251-327): per subvoxel with displacement inside the
+    quarter-voxel box, emit (point, -ghat, rgb).
+  * extractMesh (:240-249): marching cubes on the 2x-resolution lattice
+    (centers at vs/2 * j + vs/4) with per-vertex interpolated color
+    (`HrLayeredMarchingCubes`; color interpolation done correctly, unlike
+    the acknowledged index bug at HrLayeredMarchingCubes.cpp:764).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import GridConfig
+from ..ops import marching_cubes as mc
+from ..ops import voxel_grid as vg
+from ..utils.ply import save_mesh_ply, save_point_cloud_ply
+
+# subvoxel corner signs, x fastest (matches SdfVoxelHr d-ordering)
+_SIGNS = np.array(
+    [[(1 if (i >> a) & 1 else -1) for a in range(3)] for i in range(8)],
+    dtype=np.float32,
+)
+
+
+class HrVoxels(NamedTuple):
+    """Host-compacted high-res voxel set (V surface voxels)."""
+
+    vox: np.ndarray      # int32 [V, 3] LR voxel indices
+    dist: np.ndarray     # f32 [V]
+    weight: np.ndarray   # f32 [V]
+    ghat: np.ndarray     # f32 [V, 3] unit gradients
+    d: np.ndarray        # f32 [V, 8] subvoxel distances
+    vis: np.ndarray      # bool [V, F]
+    albedo: np.ndarray   # f32 [V, 8, 3] (filled by compute_color)
+
+
+def build_hr_voxels(grid, vis_bits, kf_slots, gcfg: GridConfig) -> HrVoxels:
+    """init: LR -> HR surface voxel expansion (ColorUpsampler.cpp:137-162)."""
+    na = int(grid.num_active)
+    vox = np.asarray(vg.block_local_to_voxel(grid.block_coords[:na], gcfg))
+    vox = vox.reshape(-1, 3)
+    dist = np.asarray(grid.dist[:na]).reshape(-1)
+    weight = np.asarray(grid.weight[:na]).reshape(-1)
+    grad = np.asarray(grid.grad[:na]).reshape(-1, 3)
+    vis_np = np.asarray(vis_bits[:na]).reshape(len(dist), -1)
+
+    sel = (weight > 0) & (np.abs(dist) < np.sqrt(3.0) * gcfg.voxel_size)
+    vox, dist, weight, grad = vox[sel], dist[sel], weight[sel], grad[sel]
+    vis_np = vis_np[sel]
+
+    norms = np.linalg.norm(grad, axis=-1, keepdims=True)
+    ghat = grad / np.maximum(norms, 1e-12)
+    d = dist[:, None] + 0.25 * gcfg.voxel_size * (_SIGNS @ ghat.T).T
+
+    F = len(kf_slots)
+    vis = np.zeros((len(vox), F), dtype=bool)
+    for i, s in enumerate(kf_slots):
+        vis[:, i] = (vis_np[:, s // 32] >> (s % 32)) & 1
+
+    return HrVoxels(
+        vox=vox.astype(np.int32), dist=dist, weight=weight, ghat=ghat,
+        d=d.astype(np.float32), vis=vis,
+        albedo=np.zeros((len(vox), 8, 3), np.float32),
+    )
+
+
+def compute_color(hr: HrVoxels, images: np.ndarray, poses, K,
+                  gcfg: GridConfig, chunk: int = 65536) -> HrVoxels:
+    """computeColor (:334-377): mean observed RGB per subvoxel over visible
+    keyframes; all-8-in-image gate per (voxel, frame); clamp to [0,1]."""
+    Kj = jnp.asarray(K, jnp.float32)
+    vs = gcfg.voxel_size
+    centers = hr.vox.astype(np.float32) * vs  # [V,3]
+    sub_centers = centers[:, None, :] + 0.25 * vs * _SIGNS  # [V,8,3]
+    surf = sub_centers - hr.d[..., None] * hr.ghat[:, None, :]  # [V,8,3]
+
+    V = len(hr.vox)
+    F = images.shape[0]
+    sums = np.zeros((V, 8, 3), np.float32)
+    count = np.zeros((V,), np.float32)
+
+    @jax.jit
+    def frame_pass(surf_j, img, Ri, ti):
+        fx, fy, cx, cy = Kj[0, 0], Kj[1, 1], Kj[0, 2], Kj[1, 2]
+        p = jnp.einsum("vki,ij->vkj", surf_j - ti, Ri)  # R^T (x - t)
+        z = p[..., 2]
+        safe_z = jnp.where(jnp.abs(z) > 1e-12, z, 1.0)
+        u = fx * p[..., 0] / safe_z + cx
+        v = fy * p[..., 1] / safe_z + cy
+        H, W = img.shape[0], img.shape[1]
+        inb = (u >= 0) & (u < W) & (v >= 0) & (v < H) & (z > 0)
+        all_in = jnp.all(inb, axis=-1)  # [V]
+        uc = jnp.clip(u, 0.0, W - 1.000001)
+        vc = jnp.clip(v, 0.0, H - 1.000001)
+        u0 = jnp.floor(uc).astype(jnp.int32)
+        v0 = jnp.floor(vc).astype(jnp.int32)
+        u1 = jnp.minimum(u0 + 1, W - 1)
+        v1 = jnp.minimum(v0 + 1, H - 1)
+        fu = (uc - u0)[..., None]
+        fv = (vc - v0)[..., None]
+        A = (
+            (1 - fv) * ((1 - fu) * img[v0, u0] + fu * img[v0, u1])
+            + fv * ((1 - fu) * img[v1, u0] + fu * img[v1, u1])
+        )  # [V,8,3]
+        return A, all_in
+
+    surf_j = jnp.asarray(surf)
+    for i in range(F):
+        Ri = jnp.asarray(poses[i][0], jnp.float32)
+        ti = jnp.asarray(poses[i][1], jnp.float32)
+        A, all_in = frame_pass(surf_j, jnp.asarray(images[i]), Ri, ti)
+        ok = np.asarray(all_in) & hr.vis[:, i]
+        sums += np.where(ok[:, None, None], np.asarray(A), 0.0)
+        count += ok
+
+    inv = 1.0 / np.maximum(count, 1.0)
+    albedo = np.clip(sums * inv[:, None, None], 0.0, 1.0)
+    albedo = np.where(count[:, None, None] > 0, albedo, 0.0)
+    return hr._replace(albedo=albedo.astype(np.float32))
+
+
+def extract_cloud(hr: HrVoxels, filename: str, gcfg: GridConfig,
+                  min_weight: float = 5.0) -> bool:
+    """extractCloud (:251-327)."""
+    vs4 = 0.25 * gcfg.voxel_size
+    visible = hr.vis.any(axis=1)
+    keep_vox = visible & (hr.weight >= min_weight)
+
+    centers = hr.vox.astype(np.float32) * gcfg.voxel_size
+    sub_centers = centers[:, None, :] + vs4 * _SIGNS
+    normal = -hr.ghat  # [V,3]
+    disp = normal[:, None, :] * hr.d[..., None]  # [V,8,3]
+    inside = np.all(np.abs(disp) < vs4, axis=-1) & keep_vox[:, None]
+    inside &= np.all(np.isfinite(hr.albedo), axis=-1)
+
+    pts = (sub_centers + disp)[inside]
+    nrm = np.broadcast_to(normal[:, None, :], disp.shape)[inside]
+    rgb = (hr.albedo[inside] * 255).astype(np.uint8)
+    return save_point_cloud_ply(filename, pts, normals=nrm, colors=rgb)
+
+
+def build_hr_grid(hr: HrVoxels, gcfg: GridConfig):
+    """Scatter HR voxels into a half-voxel-size block-sparse grid for MC.
+
+    HR lattice: center(j) = (vs/2) * j + vs/4; subvoxel k of LR voxel i maps
+    to j = 2i + (s_k - 1)/2  (i.e. 2i-1 or 2i per axis).
+    Returns (hr_grid, color_field [num_blocks, B^3, 3], hr_gcfg)."""
+    hr_gcfg = dataclasses.replace(
+        gcfg,
+        voxel_size=gcfg.voxel_size / 2.0,
+        num_blocks=min(gcfg.num_blocks * 4, 2 ** 17),
+        table_size=min(gcfg.table_size * 4, 2 ** 18),
+    )
+    hgrid = vg.create(hr_gcfg)
+
+    signs = _SIGNS.astype(np.int32)  # {-1, 1}
+    hr_idx = 2 * hr.vox[:, None, :] + (signs - 1) // 2  # [V,8,3]
+    hr_idx = hr_idx.reshape(-1, 3)
+    valid = np.ones(len(hr_idx), bool)
+
+    n_unique = 1 << int(np.ceil(np.log2(max(len(hr_idx), 2))))
+    hgrid = vg.ensure_blocks(
+        hgrid, jnp.asarray(hr_idx), jnp.asarray(valid), hr_gcfg,
+        max_unique=min(n_unique, hr_gcfg.num_blocks * 2),
+    )
+    lin, present = vg.lookup_voxels(hgrid, jnp.asarray(hr_idx), hr_gcfg)
+    lin = np.asarray(lin)
+    present = np.asarray(present)
+
+    nvox = hr_gcfg.num_blocks * hr_gcfg.voxels_per_block
+    dist = np.zeros(nvox, np.float32)
+    weight = np.zeros(nvox, np.float32)
+    color = np.zeros((nvox, 3), np.float32)
+    dist[lin[present]] = hr.d.reshape(-1)[present]
+    weight[lin[present]] = np.repeat(hr.weight, 8)[present]
+    color[lin[present]] = hr.albedo.reshape(-1, 3)[present]
+
+    shape = hgrid.dist.shape
+    hgrid = hgrid._replace(
+        dist=jnp.asarray(dist).reshape(shape),
+        weight=jnp.asarray(weight).reshape(shape),
+    )
+    color_field = jnp.asarray(color).reshape(shape + (3,))
+    return hgrid, color_field, hr_gcfg
+
+
+def extract_mesh_hr(hr: HrVoxels, filename: str, gcfg: GridConfig) -> bool:
+    """extractMesh via HR colored marching cubes."""
+    hgrid, color_field, hr_gcfg = build_hr_grid(hr, gcfg)
+    origin = gcfg.voxel_size / 4.0
+    verts, faces, colors = mc.extract_mesh(
+        hgrid, hr_gcfg, color_field=color_field, origin=origin
+    )
+    rgb = (np.clip(colors, 0.0, 1.0) * 255).astype(np.uint8)
+    return save_mesh_ply(filename, verts, faces, vertex_colors=rgb)

@@ -1,0 +1,136 @@
+"""Frame-to-model rigid camera tracking: Gauss-Newton on SE(3).
+
+Re-designs `RigidPointOptimizer::optimize_sampled`
+(`cpp/include/sdf_tracker/RigidPointOptimizer.cpp:40-98`) as a single jitted
+`lax.while_loop`: each iteration is one fully-vectorized residual pass over
+all (optionally strided) pixels — backproject, transform by the current pose,
+query the semi-implicit SDF (one gather), accumulate
+(E, g, H) = (sum phi^2, sum phi*J, sum J J^T) with J = [grad, p x grad] —
+followed by a replicated 6x6 solve and a left-multiplicative pose update
+pose <- exp(-xi) * pose. The reduction replaces the reference's custom
+OpenMP vecsum/matsum reductions (`RigidPointOptimizerOmp.cpp:41-69`); on a
+device mesh the same accumulators are `psum`-reduced over the ray axis
+(see parallel/sharding.py).
+
+Semantics preserved exactly:
+  * pixels gated by z in (z_min, z_max) and map weight > 0 (:65, :72);
+  * at most `num_iterations` (25) iterations; converged when
+    ||xi||^2 < conv_threshold^2 *before* applying the update (:86-91);
+  * NaN xi updates are skipped but iteration continues (:94-95);
+  * returns converged flag — non-converged frames are not fused
+    (`main_scan_3d.cpp:258-266`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import FusionConfig, GridConfig, TrackerConfig
+from ..ops import query
+from ..ops import voxel_grid as vg
+from ..utils import se3
+
+
+class TrackResult(NamedTuple):
+    R: jax.Array          # (3,3) refined camera-to-world rotation
+    t: jax.Array          # (3,)
+    converged: jax.Array  # bool
+    num_iters: jax.Array  # int32 iterations executed
+    energy: jax.Array     # f32 final sum of squared residuals
+    num_valid: jax.Array  # int32 residual count in final iteration
+
+
+def _residual_pass(grid, points_cam, z_valid, R, t, gcfg, fcfg, mode="grad"):
+    """One linearization pass: returns (E, g, H, count).
+
+    mode="grad": semi-implicit gradient-SDF query (flagship path).
+    mode="trilinear": 8-corner interpolation, the base-sdf ablation
+    (`--scan-type base-sdf`, tracked through `MapPixelSdf::tsdf`)."""
+    pts = se3.se3_apply(R, t, points_cam)
+    if mode == "grad":
+        w0 = query.weights_at(grid, pts, gcfg)
+        phi, grad, _ = query.tsdf_grad(grid, pts, gcfg, fcfg)
+    else:
+        w0 = query.weights_trilinear(grid, pts, gcfg)
+        phi, grad, _ = query.tsdf_trilinear(grid, pts, gcfg, fcfg)
+    valid = z_valid & (w0 > 0.0)
+    phi = jnp.where(valid, phi, 0.0)
+    grad = jnp.where(valid[..., None], grad, 0.0)
+
+    cross = jnp.cross(pts, grad)
+    J = jnp.concatenate([grad, cross], axis=-1)  # [N, 6]
+    E = jnp.sum(phi * phi)
+    g = jnp.sum(phi[..., None] * J, axis=0)
+    H = jnp.einsum("ni,nj->ij", J, J, precision=jax.lax.Precision.HIGHEST)
+    return E, g, H, jnp.sum(valid.astype(jnp.int32))
+
+
+def backproject_grid(depth: jax.Array, K, sampling: int = 1):
+    """Depth image -> camera-frame points [N,3] + validity-by-depth mask.
+
+    Mirrors the reference's per-pixel backprojection (:62-70); `sampling`
+    strides pixels like `optimize_sampled`'s parameter.
+    """
+    H, W = depth.shape
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    ys = jnp.arange(0, H, sampling, dtype=jnp.float32)
+    xs = jnp.arange(0, W, sampling, dtype=jnp.float32)
+    xg, yg = jnp.meshgrid(xs, ys)
+    z = depth[::sampling, ::sampling]
+    x0 = (xg - cx) / fx
+    y0 = (yg - cy) / fy
+    pts = jnp.stack([x0 * z, y0 * z, z], axis=-1).reshape(-1, 3)
+    return pts, z.reshape(-1)
+
+
+def track_frame(
+    grid: vg.VoxelGrid,
+    depth: jax.Array,
+    K: jax.Array,
+    R0: jax.Array,
+    t0: jax.Array,
+    gcfg: GridConfig,
+    fcfg: FusionConfig,
+    tcfg: TrackerConfig,
+    mode: str = "grad",
+) -> TrackResult:
+    """Refine pose (R0, t0) against the current map for one depth frame."""
+    pts_cam, z = backproject_grid(depth, K, tcfg.sampling)
+    z_valid = (z > fcfg.z_min) & (z < fcfg.z_max)
+    conv_sq = tcfg.conv_threshold * tcfg.conv_threshold
+
+    def cond(carry):
+        R, t, k, converged, E, cnt = carry
+        return (k < tcfg.num_iterations) & ~converged
+
+    def body(carry):
+        R, t, k, converged, _, _ = carry
+        E, g, H, cnt = _residual_pass(grid, pts_cam, z_valid, R, t, gcfg, fcfg, mode)
+        # Gauss-Newton step; tiny diagonal floor keeps the solve finite when
+        # H is singular (no residuals) — xi is then ~0 and NaN-gated anyway.
+        xi = tcfg.damping * jnp.linalg.solve(
+            H + 1e-12 * jnp.eye(6, dtype=H.dtype), g
+        )
+        small = jnp.sum(xi * xi) < conv_sq
+        bad = jnp.any(jnp.isnan(xi))
+        dR, dt = se3.se3_exp(-xi)
+        Rn, tn = se3.se3_mul(dR, dt, R, t)
+        apply = ~small & ~bad
+        R = jnp.where(apply, Rn, R)
+        t = jnp.where(apply, tn, t)
+        return R, t, k + 1, small, E, cnt
+
+    init = (
+        jnp.asarray(R0, jnp.float32),
+        jnp.asarray(t0, jnp.float32),
+        jnp.int32(0),
+        jnp.asarray(False),
+        jnp.float32(0.0),
+        jnp.int32(0),
+    )
+    R, t, k, converged, E, cnt = jax.lax.while_loop(cond, body, init)
+    return TrackResult(R=R, t=t, converged=converged, num_iters=k, energy=E, num_valid=cnt)

@@ -1,0 +1,99 @@
+"""End-to-end app tests on a tiny self-generated synthetic dataset."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gradient_sdf_tpu.apps import make_synth, scan3d
+from gradient_sdf_tpu.utils import tumio
+from gradient_sdf_tpu.utils.ply import load_ply
+
+
+@pytest.fixture(scope="module")
+def synth_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("synthdata"))
+    make_synth.generate(out, frames=6, seed=1, width=96, height=72, noise=False, arc_deg=5.0)
+    return out
+
+
+def test_make_synth_layout(synth_dir):
+    assert os.path.isfile(os.path.join(synth_dir, "intrinsics.txt"))
+    assert os.path.isfile(os.path.join(synth_dir, "depth", "001.png"))
+    assert os.path.isfile(os.path.join(synth_dir, "rgb", "001.png"))
+    assert os.path.isfile(os.path.join(synth_dir, "gt_poses.txt"))
+    K = np.loadtxt(os.path.join(synth_dir, "intrinsics.txt"))
+    assert K.shape == (3, 3)
+    # 16-bit depth decodes back to meters
+    from gradient_sdf_tpu.data.loaders import load_depth_png
+
+    d = load_depth_png(os.path.join(synth_dir, "depth", "001.png"), 1e-3)
+    assert d.shape == (72, 96)
+    assert 0.5 < d[d > 0].mean() < 3.5
+
+
+def test_scan3d_gt_pose_fusion(synth_dir, tmp_path):
+    """GT-pose mode: tracking bypassed, fusion-only, exports written."""
+    results = str(tmp_path / "out")
+    args = scan3d.build_parser().parse_args([
+        "--input", synth_dir, "--results", results,
+        "--pose-file", "gt_poses.txt",
+        "--data-type", "synth", "--voxel-size", "0.02", "--trunc", "5",
+        "--last", "3", "--save-sdf",
+    ])
+    metrics = scan3d.run_scan(args)
+    assert metrics["frames"] == 4
+    assert metrics["num_blocks_active"] > 0
+    assert not metrics["overflow"]
+    # trajectory file matches GT
+    traj = tumio.read_trajectory(os.path.join(results, "_poses.txt"))
+    gt = tumio.read_trajectory(os.path.join(synth_dir, "gt_poses.txt"))
+    assert len(traj) == 4
+    np.testing.assert_allclose(traj[2][2], gt[2][2], atol=1e-5)
+    # mesh + cloud + sdf dumps exist and parse
+    mesh = load_ply(os.path.join(results, "gradient_sdf_mesh_final.ply"))
+    assert len(mesh["vertex"]) > 50
+    cloud = load_ply(os.path.join(results, "gradient_sdf_cloud_final.ply"))
+    assert len(cloud["vertex"]) > 10
+    assert os.path.isfile(os.path.join(results, "gradient_sdf_sdf_d.txt"))
+
+    # gradient analysis runs on the dump and stored gradients beat FD off-surface
+    from gradient_sdf_tpu.analysis import gradient_analysis as ga
+
+    dump = ga.load_sdf_dump(os.path.join(results, "gradient_sdf"))
+    spheres = np.loadtxt(os.path.join(synth_dir, "spheres.txt"))
+    res = ga.analyze(dump, spheres[:, :3], spheres[:, 3], num_bins=5)
+    assert "stored" in res and "central" in res
+    populated = [b for b in res["stored"] if b["count"] > 0]
+    assert len(populated) >= 2
+
+
+def test_scan3d_tracking_mode(synth_dir, tmp_path):
+    """No pose file: tracking runs; trajectory should stay near GT."""
+    results = str(tmp_path / "out_track")
+    args = scan3d.build_parser().parse_args([
+        "--input", synth_dir, "--results", results,
+        "--pose-file", "nonexistent.txt",
+        "--data-type", "synth", "--voxel-size", "0.02", "--trunc", "5",
+        "--last", "3",
+    ])
+    metrics = scan3d.run_scan(args)
+    assert metrics["frames"] == 4
+    traj = tumio.read_trajectory(os.path.join(results, "_poses.txt"))
+    gt = tumio.read_trajectory(os.path.join(synth_dir, "gt_poses.txt"))
+    # first frame is the anchor at identity; GT starts elsewhere — compare
+    # relative motion: T_rel = T_0^{-1} T_i should match GT relative motion
+    def rel(traj, i):
+        from gradient_sdf_tpu.utils import se3
+        import jax.numpy as jnp
+
+        R0, t0 = jnp.asarray(traj[0][1]), jnp.asarray(traj[0][2])
+        Ri, ti = jnp.asarray(traj[i][1]), jnp.asarray(traj[i][2])
+        Rr, tr = se3.se3_mul(*se3.se3_inv(R0, t0), Ri, ti)
+        return np.asarray(Rr), np.asarray(tr)
+
+    _, tr_est = rel(traj, 3)
+    _, tr_gt = rel(gt, 3)
+    # frame-to-frame camera motion in this orbit is ~14 cm; tracked relative
+    # translation must be much closer than "no tracking at all"
+    assert np.linalg.norm(tr_est - tr_gt) < 0.2 * max(np.linalg.norm(tr_gt), 1e-9) + 0.02

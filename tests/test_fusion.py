@@ -1,0 +1,156 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gradient_sdf_tpu.config import GridConfig, FusionConfig
+from gradient_sdf_tpu.ops import voxel_grid as vg
+from gradient_sdf_tpu.ops import fusion, normals, query
+from gradient_sdf_tpu.utils import se3
+from gradient_sdf_tpu.data import synth
+
+from oracle import fuse_oracle
+
+# small camera for fast CPU tests
+W, H = 64, 48
+K = np.array([[52.5, 0, 31.5], [0, 52.5, 23.5], [0, 0, 1]], dtype=np.float32)
+GCFG = GridConfig(voxel_size=0.02, num_blocks=2048, table_size=8192)
+FCFG = FusionConfig(trunc_voxels=5.0)
+
+
+@pytest.fixture(scope="module")
+def world():
+    return synth.SphereWorld(
+        centers=jnp.asarray([[0.0, 0.0, 0.0], [0.35, 0.2, -0.1]], jnp.float32),
+        radii=jnp.asarray([0.25, 0.15], jnp.float32),
+    )
+
+
+@pytest.fixture(scope="module")
+def cache():
+    return normals.build_cache(W, H, K, window=5)
+
+
+def make_pose(i=0):
+    poses = synth.orbit_poses(n=8, radius=1.5)
+    return poses[i]
+
+
+def test_fusion_matches_oracle(world, cache):
+    R, t = make_pose(0)
+    depth = synth.render_depth(world, jnp.asarray(R), jnp.asarray(t), K, W, H)
+    nrm = normals.compute_normals(cache, depth)
+
+    grid = vg.create(GCFG)
+    grid = fusion.fuse_frame(grid, depth, cache, jnp.asarray(R), jnp.asarray(t), GCFG, FCFG)
+
+    state = fuse_oracle(
+        np.asarray(depth), np.asarray(nrm), np.asarray(cache.x0),
+        np.asarray(cache.y0), np.asarray(cache.n_sq_inv), R, t,
+        GCFG.voxel_size, FCFG.trunc_voxels * GCFG.voxel_size,
+    )
+    assert len(state) > 100
+
+    # every oracle voxel exists in the grid with matching values
+    vox = np.array(list(state.keys()), dtype=np.int32)
+    lin, present = vg.lookup_voxels(grid, jnp.asarray(vox), GCFG)
+    assert np.all(np.asarray(present))
+    dist = np.asarray(vg.flat_field(grid.dist)[lin])
+    weight = np.asarray(vg.flat_field(grid.weight)[lin])
+    grad = np.asarray(vg.flat_field(grid.grad)[lin])
+    exp_d = np.array([state[tuple(v)]["dist"] for v in vox])
+    exp_w = np.array([state[tuple(v)]["weight"] for v in vox])
+    exp_g = np.array([state[tuple(v)]["grad"] for v in vox])
+    np.testing.assert_allclose(weight, exp_w, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(dist, exp_d, rtol=1e-3, atol=2e-5)
+    np.testing.assert_allclose(grad, exp_g, rtol=1e-3, atol=1e-4)
+
+    # and the grid has no extra occupied voxels
+    total_w = float(jnp.sum(grid.weight))
+    assert abs(total_w - exp_w.sum()) < 1e-2 * max(1.0, exp_w.sum())
+
+
+def test_two_frame_fusion_matches_oracle(world, cache):
+    grid = vg.create(GCFG)
+    state = None
+    for i in range(2):
+        R, t = make_pose(i)
+        depth = synth.render_depth(world, jnp.asarray(R), jnp.asarray(t), K, W, H)
+        nrm = normals.compute_normals(cache, depth)
+        grid = fusion.fuse_frame(grid, depth, cache, jnp.asarray(R), jnp.asarray(t), GCFG, FCFG)
+        state = fuse_oracle(
+            np.asarray(depth), np.asarray(nrm), np.asarray(cache.x0),
+            np.asarray(cache.y0), np.asarray(cache.n_sq_inv), R, t,
+            GCFG.voxel_size, FCFG.trunc_voxels * GCFG.voxel_size,
+            state=state, frame_id=i,
+        )
+    vox = np.array(list(state.keys()), dtype=np.int32)
+    lin, present = vg.lookup_voxels(grid, jnp.asarray(vox), GCFG)
+    assert np.all(np.asarray(present))
+    dist = np.asarray(vg.flat_field(grid.dist)[lin])
+    weight = np.asarray(vg.flat_field(grid.weight)[lin])
+    exp_d = np.array([state[tuple(v)]["dist"] for v in vox])
+    exp_w = np.array([state[tuple(v)]["weight"] for v in vox])
+    np.testing.assert_allclose(weight, exp_w, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(dist, exp_d, rtol=1e-3, atol=3e-5)
+
+
+def test_fused_sdf_approximates_analytic(world, cache):
+    """After fusing several GT-pose frames, the stored dist/grad at
+    near-surface voxels should approximate the analytic sphere SDF."""
+    grid = vg.create(GCFG)
+    for i in range(4):
+        R, t = make_pose(i * 2)
+        depth = synth.render_depth(world, jnp.asarray(R), jnp.asarray(t), K, W, H)
+        grid = fusion.fuse_frame(grid, depth, cache, jnp.asarray(R), jnp.asarray(t), GCFG, FCFG)
+
+    na = int(grid.num_active)
+    assert na > 10
+    vox = vg.block_local_to_voxel(grid.block_coords[:na], GCFG).reshape(-1, 3)
+    w = np.asarray(grid.weight[:na]).reshape(-1)
+    d = np.asarray(grid.dist[:na]).reshape(-1)
+    g = np.asarray(grid.grad[:na]).reshape(-1, 3)
+    pts = np.asarray(vox) * GCFG.voxel_size
+    sdf_true, grad_true = synth.sphere_sdf(world, jnp.asarray(pts, jnp.float32))
+    sdf_true = np.asarray(sdf_true)
+    grad_true = np.asarray(grad_true)
+
+    # focus on well-observed voxels near the surface
+    sel = (w >= 0.8) & (np.abs(sdf_true) < 1.5 * GCFG.voxel_size)
+    assert sel.sum() > 50
+    # reference sign convention: projective SDF is NEGATIVE in observed free
+    # space and positive behind the surface (weight fn Sdf.h:76-85 gives w=1
+    # for sdf<=0), i.e. dist ~ -(outside-positive Euclidean SDF), scaled up
+    # by ray obliqueness (the paper's 1.2 heuristic corrects this at query
+    # time, MapGradPixelSdf.h:111-114)
+    err = np.abs(d[sel] + sdf_true[sel])
+    assert np.median(err) < GCFG.voxel_size  # dist within one voxel
+
+    gn = g[sel] / np.maximum(np.linalg.norm(g[sel], axis=-1, keepdims=True), 1e-12)
+    # stored gradients are inward normals => compare against -grad_true
+    cos = np.sum(gn * (-grad_true[sel]), axis=-1)
+    assert np.median(cos) > 0.99  # < ~8 deg median angle error
+
+
+def test_visibility_bits(world, cache):
+    grid = vg.create(GCFG)
+    vis = jnp.zeros((GCFG.num_blocks, GCFG.voxels_per_block, 2), jnp.uint32)
+    R, t = make_pose(0)
+    depth = synth.render_depth(world, jnp.asarray(R), jnp.asarray(t), K, W, H)
+    grid, vis = fusion.fuse_frame(
+        grid, depth, cache, jnp.asarray(R), jnp.asarray(t), GCFG, FCFG,
+        vis=vis, kf_slot=jnp.int32(33),
+    )
+    vis_np = np.asarray(vis)
+    # bit 1 of word 1 set exactly where weight > 0
+    w = np.asarray(grid.weight)
+    marked = (vis_np[..., 1] >> 1) & 1
+    np.testing.assert_array_equal(marked.astype(bool), w > 0)
+    assert np.all(vis_np[..., 0] == 0)
+
+    # non-keyframe update leaves vis unchanged
+    grid2, vis2 = fusion.fuse_frame(
+        grid, depth, cache, jnp.asarray(R), jnp.asarray(t), GCFG, FCFG,
+        vis=vis, kf_slot=jnp.int32(-1),
+    )
+    np.testing.assert_array_equal(np.asarray(vis2), vis_np)

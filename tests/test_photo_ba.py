@@ -1,0 +1,127 @@
+"""PhotoBA unit + convergence tests on a tiny synthetic setup."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gradient_sdf_tpu.config import GridConfig, FusionConfig, PhotoBAConfig
+from gradient_sdf_tpu.models import photo_ba
+from gradient_sdf_tpu.ops import voxel_grid as vg
+from gradient_sdf_tpu.utils import se3
+
+W, H = 64, 48
+K = np.array([[60.0, 0, 31.5], [0, 60.0, 23.5], [0, 0, 1]], dtype=np.float32)
+GCFG = GridConfig(voxel_size=0.02, num_blocks=512, table_size=2048)
+PCFG = PhotoBAConfig(max_iterations=10)
+
+
+def _make_plane_problem(F=3, V=200, seed=0, pose_noise=0.0):
+    """Voxels on a textured plane z=1 (world), F cameras looking at it."""
+    rng = np.random.RandomState(seed)
+    # voxels on the plane, gradient pointing -z (inward = away from camera)
+    xs = rng.uniform(-0.3, 0.3, V)
+    ys = rng.uniform(-0.2, 0.2, V)
+    vox = np.round(np.stack([xs, ys, np.full(V, 1.0)], -1) / GCFG.voxel_size)
+    vox = np.unique(vox.astype(np.int32), axis=0)
+    V = len(vox)
+    grad = np.tile([0.0, 0.0, 5.0], (V, 1)).astype(np.float32)  # inward +z
+    dist = np.zeros(V, np.float32)
+
+    # smooth random texture (bilinear-friendly)
+    tex = rng.rand(6, 8, 3).astype(np.float32)
+    big = np.kron(tex, np.ones((H // 6, W // 8, 1))).astype(np.float32)
+    from scipy.ndimage import gaussian_filter
+
+    img0 = gaussian_filter(big, sigma=(3, 3, 0))
+
+    # cameras at z=0 looking +z
+    poses = []
+    images = []
+    for i in range(F):
+        t = np.array([0.02 * i, -0.01 * i, 0.0], np.float32)
+        R = np.eye(3, dtype=np.float32)
+        if pose_noise > 0 and i > 0:
+            xi = rng.randn(6).astype(np.float32) * pose_noise
+            dR, dt = se3.se3_exp(jnp.asarray(xi))
+            R = np.asarray(jnp.asarray(R) @ dR)
+            t = t + np.asarray(dt)
+        poses.append((R, t))
+        # render plane texture into this camera analytically: pixel (u,v)
+        # sees plane point p = t + z*(x0,y0,1) with z chosen so p_z=1
+        fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+        u, v = np.meshgrid(np.arange(W), np.arange(H))
+        x0 = (u - cx) / fx
+        y0 = (v - cy) / fy
+        zplane = (1.0 - t[2])
+        px = t[0] + zplane * x0
+        py = t[1] + zplane * y0
+        # texture lookup: map world xy in [-0.4,0.4]x[-0.3,0.3] to img coords
+        tu = (px + 0.4) / 0.8 * (W - 1)
+        tv = (py + 0.3) / 0.6 * (H - 1)
+        ti = np.clip(tv.astype(int), 0, H - 1), np.clip(tu.astype(int), 0, W - 1)
+        images.append(img0[ti])
+    images = np.stack(images)
+
+    vis = np.ones((V, F), dtype=bool)
+    problem = photo_ba.BAProblem(
+        vox=jnp.asarray(vox), grad=jnp.asarray(grad),
+        weight=jnp.asarray(np.full(V, 10.0, np.float32)),
+        vmask=jnp.ones(V, bool), vis=jnp.asarray(vis),
+        images=jnp.asarray(images), K=jnp.asarray(K),
+    )
+    state = photo_ba.BAState(
+        dist=jnp.asarray(dist),
+        R=jnp.asarray(np.stack([p[0] for p in poses])),
+        t=jnp.asarray(np.stack([p[1] for p in poses])),
+    )
+    return problem, state, poses
+
+
+def test_energy_zero_for_perfect_consistency():
+    """Identical images + identical projections -> zero energy."""
+    problem, state, _ = _make_plane_problem(F=2, V=64, seed=1)
+    # make both frames the same image and same pose -> residual exactly 0
+    imgs = np.array(problem.images)
+    imgs[1] = imgs[0]
+    problem = problem._replace(images=jnp.asarray(imgs))
+    state = state._replace(
+        R=jnp.stack([state.R[0], state.R[0]]),
+        t=jnp.stack([state.t[0], state.t[0]]),
+    )
+    e = float(photo_ba.energy(problem, state, GCFG))
+    assert e < 1e-8
+
+
+def test_energy_decreases_under_optimization():
+    problem, state, _ = _make_plane_problem(F=3, seed=2, pose_noise=0.004)
+    opt = photo_ba.PhotometricOptimizer(problem, state, GCFG, PCFG,
+                                        verbose=False)
+    opt.optimize()
+    assert len(opt.energies) >= 3
+    assert opt.energies[-1] <= opt.energies[0] * 1.0001
+    # substantial decrease expected with a noisy pose
+    assert opt.energies[-1] < 0.9 * opt.energies[0]
+
+
+def test_solve_dist_moves_toward_photoconsistency():
+    problem, state, _ = _make_plane_problem(F=3, seed=3, pose_noise=0.0)
+    # perturb dist away from the plane; solver should pull it back
+    d0 = np.asarray(state.dist) + 0.004
+    state2 = state._replace(dist=jnp.asarray(d0))
+    e_before = float(photo_ba.energy(problem, state2, GCFG))
+    state3 = photo_ba.solve_dist(problem, state2, GCFG, PCFG)
+    e_after = float(photo_ba.energy(problem, state3, GCFG))
+    assert e_after <= e_before * 1.05  # reg term may slow it, but no blow-up
+    assert np.isfinite(np.asarray(state3.dist)).all()
+
+
+def test_write_back_dist_roundtrip():
+    problem, state, _ = _make_plane_problem(F=2, V=32, seed=4)
+    grid = vg.create(GCFG)
+    V = problem.vox.shape[0]
+    grid = vg.ensure_blocks(grid, problem.vox, jnp.ones(V, bool), GCFG, 256)
+    state = state._replace(dist=jnp.arange(V, dtype=jnp.float32) * 1e-3)
+    grid = photo_ba.write_back_dist(grid, problem, state, GCFG)
+    lin, present = vg.lookup_voxels(grid, problem.vox, GCFG)
+    got = np.asarray(vg.flat_field(grid.dist)[lin])
+    np.testing.assert_allclose(got, np.arange(V) * 1e-3, atol=1e-7)

@@ -1,0 +1,104 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gradient_sdf_tpu.config import GridConfig
+from gradient_sdf_tpu.ops import voxel_grid as vg
+
+
+CFG = GridConfig(num_blocks=2048, table_size=8192, max_probes=16)
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.RandomState(1)
+    coords = rng.randint(-500, 500, size=(1000, 3)).astype(np.int32)
+    keys = vg.pack_key(jnp.asarray(coords), CFG)
+    back = np.asarray(vg.unpack_key(keys, CFG))
+    np.testing.assert_array_equal(back, coords)
+    assert np.all(np.asarray(keys) >= 0)
+
+
+def test_pack_out_of_range():
+    coords = jnp.array([[600, 0, 0], [0, -513, 0], [511, 511, 511]], dtype=jnp.int32)
+    keys = np.asarray(vg.pack_key(coords, CFG))
+    assert keys[0] == -1 and keys[1] == -1 and keys[2] >= 0
+
+
+def test_voxel_to_block_negative_coords():
+    vi = jnp.array([[-1, -8, -9], [0, 7, 8], [15, -16, 3]], dtype=jnp.int32)
+    block, local = vg.voxel_to_block(vi, CFG)
+    block = np.asarray(block)
+    np.testing.assert_array_equal(block, [[-1, -1, -2], [0, 0, 1], [1, -2, 0]])
+    # local offsets always in [0, B^3)
+    local = np.asarray(local)
+    assert np.all(local >= 0) and np.all(local < 512)
+
+
+def test_insert_and_lookup():
+    grid = vg.create(CFG)
+    rng = np.random.RandomState(2)
+    coords = np.unique(rng.randint(-20, 20, size=(300, 3)).astype(np.int32), axis=0)
+    keys = vg.pack_key(jnp.asarray(coords), CFG)
+    grid = vg.insert_keys(grid, keys, CFG)
+    assert int(grid.num_active) == len(coords)
+    assert not bool(grid.overflow)
+    slots = np.asarray(vg.lookup_keys(grid, keys, CFG))
+    assert np.all(slots >= 0)
+    assert len(np.unique(slots)) == len(coords)
+    # recorded block coords match
+    bc = np.asarray(grid.block_coords)[slots]
+    np.testing.assert_array_equal(bc, coords)
+    # absent keys return -1
+    missing = vg.pack_key(jnp.asarray([[100, 100, 100]], dtype=np.int32), CFG)
+    assert int(vg.lookup_keys(grid, missing, CFG)[0]) == -1
+
+
+def test_insert_idempotent():
+    grid = vg.create(CFG)
+    coords = jnp.asarray([[0, 0, 0], [1, 2, 3], [-4, 5, -6]], dtype=jnp.int32)
+    keys = vg.pack_key(coords, CFG)
+    grid = vg.insert_keys(grid, keys, CFG)
+    slots1 = np.asarray(vg.lookup_keys(grid, keys, CFG))
+    grid = vg.insert_keys(grid, keys, CFG)
+    slots2 = np.asarray(vg.lookup_keys(grid, keys, CFG))
+    np.testing.assert_array_equal(slots1, slots2)
+    assert int(grid.num_active) == 3
+
+
+def test_insert_overflow_flag():
+    small = GridConfig(num_blocks=4, table_size=64, max_probes=16)
+    grid = vg.create(small)
+    coords = jnp.asarray(np.arange(24).reshape(8, 3), dtype=jnp.int32)
+    keys = vg.pack_key(coords, small)
+    grid = vg.insert_keys(grid, keys, small)
+    assert bool(grid.overflow)
+    assert int(grid.num_active) == 4  # capacity respected
+
+
+def test_ensure_blocks_from_voxels():
+    grid = vg.create(CFG)
+    rng = np.random.RandomState(3)
+    voxels = rng.randint(-40, 40, size=(5000, 3)).astype(np.int32)
+    valid = np.ones(5000, dtype=bool)
+    valid[::7] = False
+    grid = vg.ensure_blocks(grid, jnp.asarray(voxels), jnp.asarray(valid), CFG, max_unique=2048)
+    lin, present = vg.lookup_voxels(grid, jnp.asarray(voxels), CFG)
+    present = np.asarray(present)
+    assert np.all(present[valid])
+    # linear indices map back to the right voxel
+    lin = np.asarray(lin)
+    slots = lin // CFG.voxels_per_block
+    local = lin % CFG.voxels_per_block
+    bc = np.asarray(grid.block_coords)[slots]
+    lx, ly, lz = local % 8, (local // 8) % 8, local // 64
+    reconstructed = bc * 8 + np.stack([lx, ly, lz], axis=-1)
+    np.testing.assert_array_equal(reconstructed[valid], voxels[valid])
+
+
+def test_insert_jit_compiles():
+    grid = vg.create(CFG)
+    coords = jnp.asarray([[0, 0, 0], [1, 1, 1]], dtype=jnp.int32)
+    keys = vg.pack_key(coords, CFG)
+    insert = jax.jit(lambda g, k: vg.insert_keys(g, k, CFG))
+    grid = insert(grid, keys)
+    assert int(grid.num_active) == 2
