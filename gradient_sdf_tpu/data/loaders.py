@@ -27,6 +27,14 @@ from ..utils import tumio
 
 
 def _imread(path: str) -> np.ndarray:
+    # native zlib-based PNG decoder first (no PIL/GIL overhead); PIL covers
+    # everything else (JPEG rgb in Redwood, palette PNGs, ...)
+    if path.endswith(".png"):
+        from .. import native
+
+        arr = native.decode_png(path)
+        if arr is not None:
+            return arr
     from PIL import Image
 
     with Image.open(path) as im:

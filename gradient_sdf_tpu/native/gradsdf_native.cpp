@@ -1,0 +1,394 @@
+// Native runtime components for gradient_sdf_tpu.
+//
+// The reference implementation is a C++17 codebase end to end; the compute
+// path of this framework lives on the TPU (JAX/XLA), and this library
+// provides native equivalents for the *host runtime* around it — the parts
+// the reference does with OpenCV/STL on the CPU:
+//
+//   * 16-bit/8-bit PNG decode (reference: cv::imread IMREAD_ANYDEPTH,
+//     img_loader/ImageLoader.h:159-217) — zlib inflate + PNG unfiltering,
+//     no OpenCV dependency.
+//   * threaded frame prefetcher (the reference loads synchronously per
+//     frame; here decode overlaps device compute).
+//   * binary PLY writers for meshes / oriented+colored point clouds
+//     (reference writes ASCII: LayeredMarchingCubesNoColor.cpp:721-757,
+//     MapGradPixelSdf.cpp:189-218, ColorUpsampler.cpp:297-323).
+//   * quantized vertex dedup for marching-cubes output (reference appends
+//     duplicate vertices, :705-711).
+//
+// Exposed as a plain C ABI consumed via ctypes (gradient_sdf_tpu/native).
+// Build: make -C gradient_sdf_tpu/native
+
+#include <zlib.h>
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cmath>
+#include <mutex>
+#include <queue>
+#include <string>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// PNG decode
+// ---------------------------------------------------------------------------
+
+// Supports color type 0 (grayscale) and 2 (RGB), bit depth 8/16,
+// non-interlaced — exactly what the four dataset formats use.
+// Returns 0 on success. out buffer must hold w*h*channels samples of the
+// native bit depth (uint8 or uint16, 16-bit converted from network order).
+
+static uint32_t be32(const uint8_t* p) {
+  return (uint32_t(p[0]) << 24) | (uint32_t(p[1]) << 16) |
+         (uint32_t(p[2]) << 8) | uint32_t(p[3]);
+}
+
+struct PngInfo {
+  int width = 0, height = 0, bit_depth = 0, color_type = 0, channels = 0;
+};
+
+static int png_parse(const uint8_t* buf, size_t n, PngInfo* info,
+                     std::vector<uint8_t>* idat) {
+  static const uint8_t magic[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+  if (n < 8 || memcmp(buf, magic, 8) != 0) return -1;
+  size_t off = 8;
+  while (off + 12 <= n) {
+    uint32_t len = be32(buf + off);
+    const uint8_t* type = buf + off + 4;
+    const uint8_t* data = buf + off + 8;
+    if (off + 12 + len > n) return -2;
+    if (memcmp(type, "IHDR", 4) == 0) {
+      if (len < 13) return -3;
+      info->width = int(be32(data));
+      info->height = int(be32(data + 4));
+      info->bit_depth = data[8];
+      info->color_type = data[9];
+      if (data[12] != 0) return -4;  // interlaced unsupported
+      switch (info->color_type) {
+        case 0: info->channels = 1; break;
+        case 2: info->channels = 3; break;
+        default: return -5;  // palette/alpha unsupported
+      }
+      if (info->bit_depth != 8 && info->bit_depth != 16) return -6;
+    } else if (memcmp(type, "IDAT", 4) == 0) {
+      idat->insert(idat->end(), data, data + len);
+    } else if (memcmp(type, "IEND", 4) == 0) {
+      break;
+    }
+    off += 12 + len;
+  }
+  return (info->width > 0 && !idat->empty()) ? 0 : -7;
+}
+
+static inline uint8_t paeth(int a, int b, int c) {
+  int p = a + b - c;
+  int pa = abs(p - a), pb = abs(p - b), pc = abs(p - c);
+  if (pa <= pb && pa <= pc) return uint8_t(a);
+  if (pb <= pc) return uint8_t(b);
+  return uint8_t(c);
+}
+
+static int png_unfilter(std::vector<uint8_t>& raw, int height, size_t stride,
+                        int bpp) {
+  // raw: height rows of (1 filter byte + stride bytes); unfilter in place,
+  // compacting to height*stride at the front.
+  for (int y = 0; y < height; ++y) {
+    uint8_t* row = raw.data() + size_t(y) * (stride + 1);
+    uint8_t filter = row[0];
+    uint8_t* cur = row + 1;
+    uint8_t* out = raw.data() + size_t(y) * stride;
+    const uint8_t* prev =
+        (y == 0) ? nullptr : raw.data() + size_t(y - 1) * stride;
+    for (size_t x = 0; x < stride; ++x) {
+      int a = (x >= size_t(bpp)) ? out[x - bpp] : 0;
+      int b = prev ? prev[x] : 0;
+      int c = (prev && x >= size_t(bpp)) ? prev[x - bpp] : 0;
+      uint8_t v = cur[x];
+      switch (filter) {
+        case 0: break;
+        case 1: v = uint8_t(v + a); break;
+        case 2: v = uint8_t(v + b); break;
+        case 3: v = uint8_t(v + ((a + b) >> 1)); break;
+        case 4: v = uint8_t(v + paeth(a, b, c)); break;
+        default: return -8;
+      }
+      out[x] = v;
+    }
+  }
+  return 0;
+}
+
+int png_header(const uint8_t* buf, size_t n, int* width, int* height,
+               int* bit_depth, int* channels) {
+  PngInfo info;
+  std::vector<uint8_t> idat;
+  int rc = png_parse(buf, n, &info, &idat);
+  if (rc != 0) return rc;
+  *width = info.width;
+  *height = info.height;
+  *bit_depth = info.bit_depth;
+  *channels = info.channels;
+  return 0;
+}
+
+int png_decode(const uint8_t* buf, size_t n, void* out, size_t out_capacity) {
+  PngInfo info;
+  std::vector<uint8_t> idat;
+  int rc = png_parse(buf, n, &info, &idat);
+  if (rc != 0) return rc;
+
+  int bytes_per_sample = info.bit_depth / 8;
+  int bpp = info.channels * bytes_per_sample;
+  size_t stride = size_t(info.width) * bpp;
+  size_t need = size_t(info.height) * info.width * info.channels *
+                bytes_per_sample;
+  if (out_capacity < need) return -9;
+
+  std::vector<uint8_t> raw(size_t(info.height) * (stride + 1));
+  uLongf raw_len = uLongf(raw.size());
+  if (uncompress(raw.data(), &raw_len, idat.data(), uLong(idat.size())) !=
+      Z_OK)
+    return -10;
+  if (raw_len != raw.size()) return -11;
+
+  rc = png_unfilter(raw, info.height, stride, bpp);
+  if (rc != 0) return rc;
+
+  if (info.bit_depth == 8) {
+    memcpy(out, raw.data(), need);
+  } else {
+    // big-endian 16-bit -> host order
+    uint16_t* dst = static_cast<uint16_t*>(out);
+    const uint8_t* src = raw.data();
+    size_t count = need / 2;
+    for (size_t i = 0; i < count; ++i)
+      dst[i] = uint16_t((src[2 * i] << 8) | src[2 * i + 1]);
+  }
+  return 0;
+}
+
+int png_decode_file(const char* path, void* out, size_t out_capacity,
+                    int* width, int* height, int* bit_depth, int* channels) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -100;
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf(static_cast<size_t>(sz));
+  size_t got = fread(buf.data(), 1, size_t(sz), f);
+  fclose(f);
+  if (got != size_t(sz)) return -101;
+  int rc = png_header(buf.data(), buf.size(), width, height, bit_depth,
+                      channels);
+  if (rc != 0) return rc;
+  return png_decode(buf.data(), buf.size(), out, out_capacity);
+}
+
+// ---------------------------------------------------------------------------
+// Threaded frame prefetcher
+// ---------------------------------------------------------------------------
+
+struct Prefetcher {
+  std::vector<std::string> paths;
+  std::vector<std::vector<uint8_t>> decoded;  // per frame
+  std::vector<int> meta;                      // w,h,depth,channels per frame
+  std::vector<std::atomic<int>> status;       // 0 pending, 1 ok, <0 error
+  std::atomic<size_t> next{0};
+  std::vector<std::thread> workers;
+  std::mutex mu;
+  std::condition_variable cv;
+
+  explicit Prefetcher(std::vector<std::string> p, int n_threads)
+      : paths(std::move(p)), decoded(paths.size()), meta(paths.size() * 4),
+        status(paths.size()) {
+    for (auto& s : status) s.store(0);
+    for (int i = 0; i < n_threads; ++i)
+      workers.emplace_back([this] { run(); });
+  }
+  ~Prefetcher() {
+    next.store(paths.size());
+    for (auto& w : workers) w.join();
+  }
+  void run() {
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= paths.size()) return;
+      int w, h, d, c;
+      FILE* f = fopen(paths[i].c_str(), "rb");
+      int rc = -100;
+      if (f) {
+        fseek(f, 0, SEEK_END);
+        long sz = ftell(f);
+        fseek(f, 0, SEEK_SET);
+        std::vector<uint8_t> buf(static_cast<size_t>(sz));
+        if (fread(buf.data(), 1, size_t(sz), f) == size_t(sz)) {
+          rc = png_header(buf.data(), buf.size(), &w, &h, &d, &c);
+          if (rc == 0) {
+            decoded[i].resize(size_t(w) * h * c * (d / 8));
+            rc = png_decode(buf.data(), buf.size(), decoded[i].data(),
+                            decoded[i].size());
+            meta[4 * i] = w;
+            meta[4 * i + 1] = h;
+            meta[4 * i + 2] = d;
+            meta[4 * i + 3] = c;
+          }
+        }
+        fclose(f);
+      }
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        status[i].store(rc == 0 ? 1 : rc);
+      }
+      cv.notify_all();
+    }
+  }
+};
+
+void* prefetcher_create(const char** paths, int n, int n_threads) {
+  std::vector<std::string> p(paths, paths + n);
+  return new Prefetcher(std::move(p), n_threads > 0 ? n_threads : 2);
+}
+
+// Blocks until frame i is decoded. Returns status (1 ok, <0 error) and fills
+// meta [w, h, bit_depth, channels].
+int prefetcher_meta(void* handle, int i, int* meta_out) {
+  auto* pf = static_cast<Prefetcher*>(handle);
+  std::unique_lock<std::mutex> lk(pf->mu);
+  pf->cv.wait(lk, [&] { return pf->status[i].load() != 0; });
+  memcpy(meta_out, &pf->meta[4 * i], 4 * sizeof(int));
+  return pf->status[i].load();
+}
+
+int prefetcher_get(void* handle, int i, void* out, size_t capacity) {
+  auto* pf = static_cast<Prefetcher*>(handle);
+  std::unique_lock<std::mutex> lk(pf->mu);
+  pf->cv.wait(lk, [&] { return pf->status[i].load() != 0; });
+  int st = pf->status[i].load();
+  if (st != 1) return st;
+  if (pf->decoded[i].size() > capacity) return -9;
+  memcpy(out, pf->decoded[i].data(), pf->decoded[i].size());
+  pf->decoded[i].clear();
+  pf->decoded[i].shrink_to_fit();
+  return 1;
+}
+
+void prefetcher_destroy(void* handle) {
+  delete static_cast<Prefetcher*>(handle);
+}
+
+// ---------------------------------------------------------------------------
+// PLY writers (binary little endian)
+// ---------------------------------------------------------------------------
+
+int write_ply_mesh(const char* path, const float* verts, int64_t nv,
+                   const int32_t* faces, int64_t nf, const uint8_t* colors) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  fprintf(f, "ply\nformat binary_little_endian 1.0\n");
+  fprintf(f, "element vertex %lld\n", (long long)nv);
+  fprintf(f, "property float x\nproperty float y\nproperty float z\n");
+  if (colors)
+    fprintf(f, "property uchar red\nproperty uchar green\nproperty uchar blue\n");
+  fprintf(f, "element face %lld\n", (long long)nf);
+  fprintf(f, "property list uchar int vertex_indices\nend_header\n");
+  if (colors) {
+    std::vector<uint8_t> row(15);
+    for (int64_t i = 0; i < nv; ++i) {
+      memcpy(row.data(), verts + 3 * i, 12);
+      memcpy(row.data() + 12, colors + 3 * i, 3);
+      fwrite(row.data(), 1, 15, f);
+    }
+  } else {
+    fwrite(verts, sizeof(float), size_t(nv) * 3, f);
+  }
+  std::vector<uint8_t> frow(13);
+  frow[0] = 3;
+  for (int64_t i = 0; i < nf; ++i) {
+    memcpy(frow.data() + 1, faces + 3 * i, 12);
+    fwrite(frow.data(), 1, 13, f);
+  }
+  fclose(f);
+  return 0;
+}
+
+int write_ply_points(const char* path, const float* pts, const float* normals,
+                     const uint8_t* colors, int64_t n) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  fprintf(f, "ply\nformat binary_little_endian 1.0\n");
+  fprintf(f, "element vertex %lld\n", (long long)n);
+  fprintf(f, "property float x\nproperty float y\nproperty float z\n");
+  if (normals)
+    fprintf(f, "property float nx\nproperty float ny\nproperty float nz\n");
+  if (colors)
+    fprintf(f, "property uchar red\nproperty uchar green\nproperty uchar blue\n");
+  fprintf(f, "end_header\n");
+  size_t row_bytes = 12 + (normals ? 12 : 0) + (colors ? 3 : 0);
+  std::vector<uint8_t> row(row_bytes);
+  for (int64_t i = 0; i < n; ++i) {
+    size_t off = 0;
+    memcpy(row.data(), pts + 3 * i, 12);
+    off = 12;
+    if (normals) {
+      memcpy(row.data() + off, normals + 3 * i, 12);
+      off += 12;
+    }
+    if (colors) memcpy(row.data() + off, colors + 3 * i, 3);
+    fwrite(row.data(), 1, row_bytes, f);
+  }
+  fclose(f);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Quantized vertex dedup
+// ---------------------------------------------------------------------------
+
+// verts: [n, 3] float; quantum: snap size. Fills index_map [n] with the
+// dedup id of each vertex and unique_out [n, 3] (first occurrence wins);
+// returns the number of unique vertices.
+int64_t dedup_vertices(const float* verts, int64_t n, double quantum,
+                       int32_t* index_map, float* unique_out) {
+  struct Key {
+    int64_t x, y, z;
+    bool operator==(const Key& o) const {
+      return x == o.x && y == o.y && z == o.z;
+    }
+  };
+  struct KeyHash {
+    size_t operator()(const Key& k) const {
+      uint64_t h = uint64_t(k.x) * 0x9E3779B185EBCA87ull;
+      h ^= uint64_t(k.y) * 0xC2B2AE3D27D4EB4Full + (h << 6);
+      h ^= uint64_t(k.z) * 0x165667B19E3779F9ull + (h >> 3);
+      return size_t(h);
+    }
+  };
+  std::unordered_map<Key, int32_t, KeyHash> seen;
+  seen.reserve(size_t(n));
+  double inv_q = 1.0 / quantum;
+  int32_t next_id = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    Key k{int64_t(llround(verts[3 * i] * inv_q)),
+          int64_t(llround(verts[3 * i + 1] * inv_q)),
+          int64_t(llround(verts[3 * i + 2] * inv_q))};
+    auto it = seen.find(k);
+    if (it == seen.end()) {
+      seen.emplace(k, next_id);
+      memcpy(unique_out + 3 * next_id, verts + 3 * i, 12);
+      index_map[i] = next_id;
+      ++next_id;
+    } else {
+      index_map[i] = it->second;
+    }
+  }
+  return next_id;
+}
+
+}  // extern "C"

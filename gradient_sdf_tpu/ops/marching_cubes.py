@@ -333,7 +333,7 @@ def _extract_chunk(grid, block_slots, gcfg: GridConfig, iso: float,
         cb = c_c[..., eb, :]
         ecolors = ca + frac[..., None] * (cb - ca)  # [M,B,B,B,12,C]
         tc = jnp.take_along_axis(
-            ecolors, tri_e_safe[..., None, None].astype(jnp.int32), axis=-3
+            ecolors, tri_e_safe[..., None].astype(jnp.int32), axis=-2
         )
         tc = tc.reshape(shape + (MAX_TRIS, 3, C))
         out = out + (tc.reshape(M, B * B * B, MAX_TRIS, 3, C),)
@@ -392,12 +392,29 @@ def extract_mesh(grid: vg.VoxelGrid, gcfg: GridConfig, iso: float = 0.0,
     colors = np.concatenate(colors_out, axis=0) if with_color else None
     faces = np.arange(len(flat), dtype=np.int32).reshape(-1, 3)
     if dedup and len(flat):
-        keys = np.round(flat / (gcfg.voxel_size * 1e-4)).astype(np.int64)
-        _, idx, inv = np.unique(
-            keys, axis=0, return_index=True, return_inverse=True
-        )
-        verts = flat[idx]
-        faces = inv[faces].astype(np.int32)
+        from .. import native
+
+        quantum = gcfg.voxel_size * 1e-4
+        nd = native.dedup_vertices(flat, quantum) if native.available() else None
+        if nd is not None:
+            verts, inv = nd
+            faces = inv[faces].astype(np.int32)
+            if with_color:
+                # first-occurrence color per unique vertex (reverse pass so
+                # earlier occurrences win)
+                first = np.zeros(len(verts), np.int64)
+                order = np.arange(len(flat))
+                first[inv[::-1]] = order[::-1]
+                colors = colors[first]
+        else:
+            keys = np.round(flat / quantum).astype(np.int64)
+            _, idx, inv = np.unique(
+                keys, axis=0, return_index=True, return_inverse=True
+            )
+            verts = flat[idx]
+            faces = inv[faces].astype(np.int32)
+            if with_color:
+                colors = colors[idx]
         # drop degenerate triangles (iso-surface passing exactly through a
         # lattice corner collapses some triangles to edges/points)
         keep = (
@@ -406,8 +423,6 @@ def extract_mesh(grid: vg.VoxelGrid, gcfg: GridConfig, iso: float = 0.0,
             & (faces[:, 0] != faces[:, 2])
         )
         faces = faces[keep]
-        if with_color:
-            colors = colors[idx]
     else:
         verts = flat
     if with_color:

@@ -12,6 +12,11 @@ import numpy as np
 
 
 def save_point_cloud_ply(filename, points, normals=None, colors=None, ascii=False):
+    if not ascii:
+        from .. import native
+
+        if native.available():
+            return native.write_ply_points(filename, points, normals, colors)
     points = np.asarray(points, np.float32)
     n = len(points)
     props = ["property float x", "property float y", "property float z"]
@@ -53,6 +58,11 @@ def save_point_cloud_ply(filename, points, normals=None, colors=None, ascii=Fals
 
 
 def save_mesh_ply(filename, vertices, faces, vertex_colors=None, ascii=False):
+    if not ascii:
+        from .. import native
+
+        if native.available():
+            return native.write_ply_mesh(filename, vertices, faces, vertex_colors)
     vertices = np.asarray(vertices, np.float32)
     faces = np.asarray(faces, np.int32)
     nv, nf = len(vertices), len(faces)

@@ -1,0 +1,81 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gradient_sdf_tpu.config import GridConfig, FusionConfig, TrackerConfig
+from gradient_sdf_tpu.ops import voxel_grid as vg
+from gradient_sdf_tpu.ops import fusion, normals
+from gradient_sdf_tpu.models import tracker
+from gradient_sdf_tpu.parallel import mesh as mesh_mod
+from gradient_sdf_tpu.parallel import sharding
+from gradient_sdf_tpu.data import synth
+
+W, H = 64, 48
+K = np.array([[52.5, 0, 31.5], [0, 52.5, 23.5], [0, 0, 1]], dtype=np.float32)
+GCFG = GridConfig(voxel_size=0.02, num_blocks=2048, table_size=8192)
+FCFG = FusionConfig(trunc_voxels=5.0)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    world = synth.SphereWorld(
+        centers=jnp.asarray([[0.0, 0.0, 0.0], [0.3, 0.2, -0.1]], jnp.float32),
+        radii=jnp.asarray([0.25, 0.15], jnp.float32),
+    )
+    cache = normals.build_cache(W, H, K, window=5)
+    poses = synth.orbit_poses(n=8, radius=1.5)
+    return world, cache, poses
+
+
+@pytest.mark.parametrize("block_parallel", [1, 2])
+def test_sharded_fusion_matches_single_device(scene, block_parallel):
+    world, cache, poses = scene
+    mesh = mesh_mod.make_mesh(8, block_parallel=block_parallel)
+    R, t = poses[0]
+    depth = synth.render_depth(world, jnp.asarray(R), jnp.asarray(t), K, W, H)
+
+    ref = vg.create(GCFG)
+    ref = fusion.fuse_frame(ref, depth, cache, jnp.asarray(R), jnp.asarray(t),
+                            GCFG, FCFG)
+
+    par = vg.create(GCFG)
+    par = sharding.sharded_fuse_frame(mesh, par, depth, cache, jnp.asarray(R),
+                                      jnp.asarray(t), GCFG, FCFG)
+
+    assert int(par.num_active) == int(ref.num_active)
+    np.testing.assert_allclose(np.asarray(par.weight), np.asarray(ref.weight),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(par.dist), np.asarray(ref.dist),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(par.grad), np.asarray(ref.grad),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_tracking_matches_single_device(scene):
+    world, cache, poses = scene
+    mesh = mesh_mod.make_mesh(8, block_parallel=2)
+    grid = vg.create(GCFG)
+    for i in range(3):
+        R, t = poses[i]
+        depth = synth.render_depth(world, jnp.asarray(R), jnp.asarray(t), K, W, H)
+        grid = fusion.fuse_frame(grid, depth, cache, jnp.asarray(R),
+                                 jnp.asarray(t), GCFG, FCFG)
+
+    R, t = poses[1]
+    depth = synth.render_depth(world, jnp.asarray(R), jnp.asarray(t), K, W, H)
+    tcfg = TrackerConfig(num_iterations=5)
+    res = tracker.track_frame(grid, depth, jnp.asarray(K), jnp.asarray(R),
+                              jnp.asarray(t), GCFG, FCFG, tcfg)
+    Rp, tp, conv, iters = sharding.sharded_track_frame(
+        mesh, grid, depth, jnp.asarray(K), jnp.asarray(R), jnp.asarray(t),
+        GCFG, FCFG, tcfg,
+    )
+    np.testing.assert_allclose(np.asarray(Rp), np.asarray(res.R), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(tp), np.asarray(res.t), atol=2e-5)
