@@ -13,11 +13,21 @@ iteration rate.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+# persistent compile cache: TPU compiles go through a remote service here and
+# cost minutes per program; cache them across bench runs
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
 import jax
 import jax.numpy as jnp
+
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def timeit(fn, *args, iters=10, warmup=2):
@@ -32,6 +42,13 @@ def timeit(fn, *args, iters=10, warmup=2):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser("bench")
+    ap.add_argument("--profile", default=None,
+                    help="write a jax.profiler trace to this directory")
+    opts, _ = ap.parse_known_args()
+
     from gradient_sdf_tpu.config import FusionConfig, GridConfig, TrackerConfig
     from gradient_sdf_tpu.data import synth
     from gradient_sdf_tpu.models import tracker
@@ -57,6 +74,8 @@ def main():
         )
     )
 
+    import sys
+    print("# compiling fusion...", file=sys.stderr, flush=True)
     # build a map from a few GT-pose frames
     grid = vg.create(gcfg)
     depths = []
@@ -69,11 +88,16 @@ def main():
 
     R4, t4 = (jnp.asarray(poses[4][0]), jnp.asarray(poses[4][1]))
 
+    if opts.profile:
+        with jax.profiler.trace(opts.profile):
+            jax.block_until_ready(fuse_jit(grid, depths[4], R4, t4).dist)
+
     # fusion throughput: samples per frame = W*H*(2*trunc+1)
     fuse_s = timeit(lambda: fuse_jit(grid, depths[4], R4, t4), iters=10)
     voxel_updates = W * H * (2 * int(fcfg.trunc_voxels) + 1)
     fusion_mvox = voxel_updates / fuse_s / 1e6
 
+    print("# compiling tracker...", file=sys.stderr, flush=True)
     # tracking: full 25-iter budget from a perturbed pose
     from gradient_sdf_tpu.utils import se3
 
@@ -82,6 +106,7 @@ def main():
     R0, t0 = se3.se3_mul(dR, dt, R4, t4)
     track_s = timeit(lambda: track_jit(grid, depths[4], R0, t0), iters=5)
 
+    print("# compiling raycaster...", file=sys.stderr, flush=True)
     # raycast Mrays/s
     rc_jit = jax.jit(
         lambda g, R, t: raycast.render_depth_normal(

@@ -55,6 +55,10 @@ def build_parser():
     p.add_argument("--save-sdf", dest="save_sdf", action="store_true")
     p.add_argument("--metrics-json", default=None,
                    help="optional path for per-run structured metrics")
+    p.add_argument("--checkpoint-every", dest="checkpoint_every", type=int,
+                   default=0, help="write a state checkpoint every N frames")
+    p.add_argument("--resume", default=None,
+                   help="resume reconstruction from a state checkpoint")
     return p
 
 
@@ -98,15 +102,38 @@ def run_scan(args) -> dict:
     invalid_frames = []
     last = None if args.last < 0 else args.last + 1
 
+    first = args.first
+    resume_counter = 0
+    if args.resume:
+        from ..utils import checkpoint as ckpt
+
+        state = ckpt.load_state(args.resume)
+        sdf_map.grid = state["grid"]
+        if state["vis"] is not None and hasattr(sdf_map, "vis"):
+            sdf_map.vis = state["vis"]
+        sdf_map.counter = state["counter"]
+        resume_counter = state["counter"]
+        pose_entries.extend(state["poses"])
+        if state["poses"]:
+            _, R_last, t_last = state["poses"][-1]
+            R_cur = jnp.asarray(R_last)
+            t_cur = jnp.asarray(t_last)
+        # poses are recorded per processed frame (fused or not) -> they, not
+        # the fusion counter, define where to pick up
+        first = args.first + (len(state["poses"]) or resume_counter)
+        print(f"Resumed at frame {first} ({resume_counter} frames integrated)")
+
+    ckpt_path = os.path.join(args.results, "checkpoint.npz")
+
     n_frames = 0
-    for frame in loader.frames(args.first, last):
+    for frame in loader.frames(first, last):
         i = frame.index
         print(f"Working on frame: {i}")
         T.tic()
         depth = jnp.asarray(frame.depth)
         T.toc("Load data")
 
-        if i == args.first:
+        if i == first and resume_counter == 0:
             T.tic()
             if gt_mode:
                 R_cur = jnp.asarray(gt[0][1])
@@ -141,6 +168,15 @@ def run_scan(args) -> dict:
             (frame.timestamp, np.asarray(R_cur), np.asarray(t_cur))
         )
         n_frames += 1
+
+        if args.checkpoint_every and (sdf_map.counter % args.checkpoint_every == 0):
+            from ..utils import checkpoint as ckpt
+
+            ckpt.save_state(
+                ckpt_path, sdf_map.grid,
+                vis=getattr(sdf_map, "vis", None),
+                counter=sdf_map.counter, poses=pose_entries,
+            )
 
     tumio.write_trajectory(pose_path, pose_entries)
 

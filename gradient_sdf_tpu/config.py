@@ -28,8 +28,9 @@ class GridConfig:
     voxel_size: float = 0.01          # --voxel-size default, main_scan_3d.cpp:75
     block_shape: int = 8              # voxels per block edge (8^3 = 512 = 4 TPU lanes)
     num_blocks: int = 2 ** 14         # block capacity (16384 blocks = 8.4M voxels)
-    table_size: int = 2 ** 15         # hash slots; keep load factor <= 0.5
-    max_probes: int = 32              # linear probing bound
+    table_size: int = 2 ** 16         # hash slots; keep load factor <= 0.25
+    max_probes: int = 8               # probing bound (loop-free [N, P] gather;
+    # insertion past this distance sets overflow -> grid growth)
     coord_bits: int = 10              # signed bits per packed block coordinate
     # -> block coords in [-512, 511]; world range +-(512 * 8 * voxel_size)
 

@@ -81,6 +81,23 @@ class GradSdfMap:
             jnp.asarray(t, jnp.float32), jnp.int32(kf_slot),
         )
         self.counter += 1
+        if bool(self.grid.overflow):
+            self._grow()
+
+    def _grow(self):
+        """Episodic host-side rehash on capacity overflow (vg.grow)."""
+        import dataclasses
+
+        old_blocks = self.cfg.grid.num_blocks
+        self.grid, new_gcfg = vg.grow(self.grid, self.cfg.grid)
+        self.cfg = dataclasses.replace(self.cfg, grid=new_gcfg)
+        if self.vis is not None:
+            pad = new_gcfg.num_blocks - old_blocks
+            self.vis = jnp.concatenate(
+                [self.vis, jnp.zeros((pad,) + self.vis.shape[1:], jnp.uint32)]
+            )
+        self._fuse_jit = None  # config changed -> retrace
+        print(f"Grid grown to {new_gcfg.num_blocks} blocks")
 
     # -- queries ------------------------------------------------------------
     def tsdf(self, points):

@@ -65,6 +65,13 @@ class PixelSdfMap:
             self.grid, depth, jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32)
         )
         self.counter += 1
+        if bool(self.grid.overflow):
+            import dataclasses
+
+            self.grid, new_gcfg = vg.grow(self.grid, self.cfg.grid)
+            self.cfg = dataclasses.replace(self.cfg, grid=new_gcfg)
+            self._fuse_jit = None
+            print(f"Grid grown to {new_gcfg.num_blocks} blocks")
 
     def tsdf(self, points):
         phi, grad, _ = query.tsdf_trilinear(

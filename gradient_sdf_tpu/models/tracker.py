@@ -51,12 +51,13 @@ def _residual_pass(grid, points_cam, z_valid, R, t, gcfg, fcfg, mode="grad"):
     (`--scan-type base-sdf`, tracked through `MapPixelSdf::tsdf`)."""
     pts = se3.se3_apply(R, t, points_cam)
     if mode == "grad":
-        w0 = query.weights_at(grid, pts, gcfg)
-        phi, grad, _ = query.tsdf_grad(grid, pts, gcfg, fcfg)
+        # the reference calls weights() then tsdf() on the same voxel
+        # (RigidPointOptimizer.cpp:72-75); one gather serves both here
+        phi, grad, w0 = query.tsdf_grad(grid, pts, gcfg, fcfg)
+        valid = z_valid & (w0 > 0.0)
     else:
-        w0 = query.weights_trilinear(grid, pts, gcfg)
-        phi, grad, _ = query.tsdf_trilinear(grid, pts, gcfg, fcfg)
-    valid = z_valid & (w0 > 0.0)
+        phi, grad, full = query.tsdf_trilinear(grid, pts, gcfg, fcfg)
+        valid = z_valid & full
     phi = jnp.where(valid, phi, 0.0)
     grad = jnp.where(valid[..., None], grad, 0.0)
 

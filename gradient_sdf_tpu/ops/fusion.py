@@ -20,6 +20,12 @@ fused, jit-compiled pass with no data-dependent control flow:
      order-independent, so it is parallel-safe without the reference's
      `omp critical` (`MapGradPixelSdfOmp.cpp:112-121`).
 
+TPU-compiler notes: all coordinate math is carried as separate x/y/z
+component arrays of shape [H, W] / [H, W, K] — [N, 3]-shaped math with a
+3-wide minor axis sends the TPU backend's compile time from seconds to
+minutes. Block keys are packed ONCE per sample and reused for both
+allocation (unique+insert) and the scatter lookup.
+
 The per-voxel *visibility* bitmask (reference `vis_`,
 `MapGradPixelSdf.h:70`, consumed by PhotoBA/ColorUpsampler) is kept as a
 dense uint32 bitfield over keyframe slots: fusion marks bit `kf_slot` for
@@ -38,67 +44,141 @@ from . import voxel_grid as vg
 from .normals import NormalEstimatorCache, compute_normals
 
 
-class FrameObservation(NamedTuple):
-    """Per-sample fusion contributions, before scatter (exposed for tests)."""
+class FrameSamples(NamedTuple):
+    """Flattened per-sample fusion contributions (component arrays)."""
 
-    lin: jax.Array        # int32 [N] linear voxel index (OOB if invalid)
-    w: jax.Array          # f32 [N]
+    keys: jax.Array       # int32 [N] packed block keys (EMPTY where invalid)
+    local_lin: jax.Array  # int32 [N] intra-block voxel offset
+    w: jax.Array          # f32 [N] integration weight (0 where invalid)
     wd: jax.Array         # f32 [N] w * trunc(sdf)
-    wn: jax.Array         # f32 [N, 3] w * R @ n
+    wn_x: jax.Array       # f32 [N] w * (R n)_x
+    wn_y: jax.Array
+    wn_z: jax.Array
 
 
 def _sample_frame(
-    grid: vg.VoxelGrid,
     depth: jax.Array,
-    normals: jax.Array,
+    normal_img: jax.Array,
     cache: NormalEstimatorCache,
     R: jax.Array,
     t: jax.Array,
     gcfg: GridConfig,
     fcfg: FusionConfig,
-):
-    """Compute voxel indices + weighted contributions for every ray sample."""
+) -> FrameSamples:
+    """Compute packed block keys + weighted contributions for every sample."""
     vs = gcfg.voxel_size
+    inv_vs = 1.0 / vs
+    b = gcfg.block_shape
     T = fcfg.trunc_voxels * vs
     factor = int(fcfg.trunc_voxels)  # floor(T / vs), reference :79
     K = 2 * factor + 1
 
     z = depth  # [H, W]; reference uses the raw depth in this loop (:85-89)
-    pix_valid = (z > fcfg.z_min) & (z < fcfg.z_max)
+    hx, hy = cache.x0, cache.y0
+    nx = normal_img[..., 0]
+    ny = normal_img[..., 1]
+    nz = normal_img[..., 2]
 
-    h_ray = jnp.stack([cache.x0, cache.y0, jnp.ones_like(cache.x0)], axis=-1)  # [H,W,3]
-    n = normals
-    n_finite = jnp.all(jnp.isfinite(n), axis=-1)
-    n_sq = jnp.sum(n * n, axis=-1)
-    ndoth = jnp.sum(n * h_ray, axis=-1)
+    n_finite = jnp.isfinite(nx) & jnp.isfinite(ny) & jnp.isfinite(nz)
+    nx = jnp.where(n_finite, nx, 0.0)
+    ny = jnp.where(n_finite, ny, 0.0)
+    nz = jnp.where(n_finite, nz, 0.0)
+    n_sq = nx * nx + ny * ny + nz * nz
+    ndoth = nx * hx + ny * hy + nz
     pix_valid = (
-        pix_valid
+        (z > fcfg.z_min)
+        & (z < fcfg.z_max)
         & n_finite
         & (n_sq >= fcfg.normal_sq_min)
         & (ndoth * ndoth * cache.n_sq_inv >= fcfg.view_angle_cos_sq)
     )
 
-    Rh = jnp.einsum("ij,hwj->hwi", R, h_ray, precision=jax.lax.Precision.HIGHEST)
-    Rn = jnp.einsum("ij,hwj->hwi", R, n, precision=jax.lax.Precision.HIGHEST)
-    Rn = jnp.where(pix_valid[..., None], Rn, 0.0)
+    # rotated ray and normal, componentwise ([H, W] each)
+    rh_x = R[0, 0] * hx + R[0, 1] * hy + R[0, 2]
+    rh_y = R[1, 0] * hx + R[1, 1] * hy + R[1, 2]
+    rh_z = R[2, 0] * hx + R[2, 1] * hy + R[2, 2]
+    rn_x = R[0, 0] * nx + R[0, 1] * ny + R[0, 2] * nz
+    rn_y = R[1, 0] * nx + R[1, 1] * ny + R[1, 2] * nz
+    rn_z = R[2, 0] * nx + R[2, 1] * ny + R[2, 2] * nz
 
     ks = jnp.arange(-factor, factor + 1, dtype=jnp.float32)  # [K]
-    depths_along = z[..., None] + ks * vs  # [H, W, K]
-    points = depths_along[..., None] * Rh[..., None, :] + t  # [H, W, K, 3]
-    vi = vg.point_to_voxel(points, vs)  # [H, W, K, 3]
-    centers = vg.voxel_to_point(vi, vs)
-    # projective SDF: only the z-row of R^T is needed (reference :105-106)
-    sdf = jnp.einsum(
-        "i,hwki->hwk", R[:, 2], centers - t, precision=jax.lax.Precision.HIGHEST
-    ) - z[..., None]
+    depth_k = z[..., None] + ks * vs  # [H, W, K]
+
+    px = depth_k * rh_x[..., None] + t[0]
+    py = depth_k * rh_y[..., None] + t[1]
+    pz = depth_k * rh_z[..., None] + t[2]
+    vi_x = jnp.round(px * inv_vs).astype(jnp.int32)
+    vi_y = jnp.round(py * inv_vs).astype(jnp.int32)
+    vi_z = jnp.round(pz * inv_vs).astype(jnp.int32)
+
+    # projective SDF: (R^T (c - t))_z = column 2 of R dotted with (c - t)
+    sdf = (
+        R[0, 2] * (vi_x.astype(jnp.float32) * vs - t[0])
+        + R[1, 2] * (vi_y.astype(jnp.float32) * vs - t[1])
+        + R[2, 2] * (vi_z.astype(jnp.float32) * vs - t[2])
+        - z[..., None]
+    )
 
     # integration weight (Sdf.h:76-85): 1 behind surface, linear drop in front
     w = jnp.where(sdf <= 0.0, 1.0, jnp.maximum(0.0, 1.0 - sdf / T))
     w = jnp.where(pix_valid[..., None], w, 0.0)
     trunc_sdf = jnp.clip(sdf, -T, T)
 
-    valid = w > 0.0
-    return vi, valid, w, trunc_sdf, Rn, K
+    bx = jnp.floor_divide(vi_x, b)
+    by = jnp.floor_divide(vi_y, b)
+    bz = jnp.floor_divide(vi_z, b)
+    lx = vi_x - bx * b
+    ly = vi_y - by * b
+    lz = vi_z - bz * b
+    local_lin = (lz * b + ly) * b + lx
+    keys = vg.pack_key_xyz(bx, by, bz, gcfg)
+    keys = jnp.where(w > 0.0, keys, vg.EMPTY_KEY)
+
+    return FrameSamples(
+        keys=keys.reshape(-1),
+        local_lin=local_lin.reshape(-1),
+        w=w.reshape(-1),
+        wd=(w * trunc_sdf).reshape(-1),
+        wn_x=(w * rn_x[..., None]).reshape(-1),
+        wn_y=(w * rn_y[..., None]).reshape(-1),
+        wn_z=(w * rn_z[..., None]).reshape(-1),
+    )
+
+
+def _apply_samples(grid: vg.VoxelGrid, s: FrameSamples, gcfg: GridConfig,
+                   accumulate_gradients: bool = True):
+    """Scatter contributions into per-frame accumulators and merge.
+
+    Returns (grid, touched_lin, ok) where touched_lin/ok feed the optional
+    visibility update."""
+    slot = vg.lookup_keys(grid, s.keys, gcfg)
+    ok = slot >= 0
+    nvox = grid.num_blocks * grid.voxels_per_block
+    lin = jnp.where(ok, slot * gcfg.voxels_per_block + s.local_lin, nvox)
+
+    shape = grid.dist.shape
+    w_acc = jnp.zeros((nvox,), jnp.float32).at[lin].add(s.w, mode="drop")
+    wd_acc = jnp.zeros((nvox,), jnp.float32).at[lin].add(s.wd, mode="drop")
+    w_acc = w_acc.reshape(shape)
+    wd_acc = wd_acc.reshape(shape)
+
+    new_weight = grid.weight + w_acc
+    new_dist = jnp.where(
+        new_weight > 0.0,
+        (grid.dist * grid.weight + wd_acc) / jnp.maximum(new_weight, 1e-30),
+        grid.dist,
+    )
+    if accumulate_gradients:
+        gx = jnp.zeros((nvox,), jnp.float32).at[lin].add(s.wn_x, mode="drop")
+        gy = jnp.zeros((nvox,), jnp.float32).at[lin].add(s.wn_y, mode="drop")
+        gz = jnp.zeros((nvox,), jnp.float32).at[lin].add(s.wn_z, mode="drop")
+        new_grad = grid.grad + jnp.stack(
+            [gx.reshape(shape), gy.reshape(shape), gz.reshape(shape)], axis=-1
+        )
+    else:
+        new_grad = grid.grad
+    grid = grid._replace(dist=new_dist, weight=new_weight, grad=new_grad)
+    return grid, lin, ok
 
 
 def fuse_frame(
@@ -124,49 +204,18 @@ def fuse_frame(
     (`MapPixelSdf::update`, MapPixelSdf.cpp:114-189: identical gating and
     dist/weight updates, no gradient) — used by the base-sdf ablation path.
     """
-    normals = compute_normals(cache, depth)
-    vi, valid, w, trunc_sdf, Rn, K = _sample_frame(
-        grid, depth, normals, cache, R, t, gcfg, fcfg
-    )
+    normal_img = compute_normals(cache, depth)
+    s = _sample_frame(depth, normal_img, cache, R, t, gcfg, fcfg)
 
-    vi_flat = vi.reshape(-1, 3)
-    valid_flat = valid.reshape(-1)
+    # allocate blocks for this frame's unique keys
+    unique = jnp.unique(s.keys, size=max_unique_blocks, fill_value=vg.EMPTY_KEY)
+    grid = vg.insert_keys(grid, unique, gcfg)
 
-    grid = vg.ensure_blocks(grid, vi_flat, valid_flat, gcfg, max_unique_blocks)
-
-    lin, present = vg.lookup_voxels(grid, vi_flat, gcfg)
-    ok = valid_flat & present
-    nvox = grid.num_blocks * grid.voxels_per_block
-    lin = jnp.where(ok, lin, nvox)  # out-of-bounds -> dropped by scatter
-
-    w_flat = w.reshape(-1)
-    wd_flat = (w * trunc_sdf).reshape(-1)
-    # w * R n: Rn is per-pixel [H,W,3]; broadcast over the K ray samples
-    wn = w[..., None] * Rn[..., None, :]  # [H, W, K, 3]
-    wn_flat = wn.reshape(-1, 3)
-
-    w_acc = jnp.zeros((nvox,), jnp.float32).at[lin].add(w_flat, mode="drop")
-    wd_acc = jnp.zeros((nvox,), jnp.float32).at[lin].add(wd_flat, mode="drop")
-
-    shape = grid.dist.shape
-    w_acc = w_acc.reshape(shape)
-    wd_acc = wd_acc.reshape(shape)
-
-    new_weight = grid.weight + w_acc
-    new_dist = jnp.where(
-        new_weight > 0.0,
-        (grid.dist * grid.weight + wd_acc) / jnp.maximum(new_weight, 1e-30),
-        grid.dist,
-    )
-    if accumulate_gradients:
-        wn_acc = jnp.zeros((nvox, 3), jnp.float32).at[lin].add(wn_flat, mode="drop")
-        wn_acc = wn_acc.reshape(shape + (3,))
-        new_grad = grid.grad + wn_acc
-    else:
-        new_grad = grid.grad
-    grid = grid._replace(dist=new_dist, weight=new_weight, grad=new_grad)
+    grid, lin, ok = _apply_samples(grid, s, gcfg, accumulate_gradients)
 
     if vis is not None:
+        nvox = grid.num_blocks * grid.voxels_per_block
+        shape = grid.dist.shape
         touched = jnp.zeros((nvox,), jnp.int32).at[lin].max(
             ok.astype(jnp.int32), mode="drop"
         )

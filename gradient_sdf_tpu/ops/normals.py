@@ -5,9 +5,9 @@ Re-implements the reference's `cv::NormalEstimator<T>`
 per-pixel unit rays nbar = (x0, y0, 1)/|.|, a per-pixel 3x3 normal-equation
 matrix M = sum_window nbar nbar^T precomputed once and inverted analytically
 (adjugate), then per frame b = sum_window nbar / z and n = M^{-1} b,
-normalized. Box sums are unnormalized box filters; on TPU they lower to two
-separable cumulative-sum passes (O(1) per pixel, no 11x11 gather), and the
-whole per-frame pass is a handful of fused VPU ops.
+normalized. Box sums are unnormalized box filters realized as two banded
+matmuls on the MXU (see box_sum_matrix), so the whole per-frame pass is two
+small matmuls plus fused VPU elementwise ops.
 
 Border handling matches OpenCV's default BORDER_REFLECT_101 via jnp.pad
 (mode="reflect").
@@ -22,22 +22,40 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def box_filter(img: jax.Array, window: int) -> jax.Array:
-    """Unnormalized box sum over a window x window neighborhood.
+def box_sum_matrix(n: int, window: int) -> np.ndarray:
+    """[n, n] matrix S with (S^T x)_i = sum of x over the window around i,
+    BORDER_REFLECT_101 folded in. Box filtering then becomes two small
+    matmuls on the MXU — the fastest *and* fastest-compiling formulation on
+    TPU (cumsum and reduce_window both cost the TPU compiler minutes at
+    these shapes)."""
+    r = window // 2
+    S = np.zeros((n, n), dtype=np.float32)
+    for i in range(n):
+        for di in range(-r, r + 1):
+            j = i + di
+            if j < 0:
+                j = -j
+            elif j >= n:
+                j = 2 * n - 2 - j
+            S[j, i] += 1.0
+    return S
 
-    Equivalent to cv::boxFilter(..., normalize=false) with
-    BORDER_REFLECT_101. Implemented with separable padded cumsums:
-    O(H*W) independent of window size, bandwidth-bound on TPU.
-    """
+
+def box_filter(img: jax.Array, window: int, Sh=None, Sw=None) -> jax.Array:
+    """Unnormalized box sum over a window x window neighborhood
+    (cv::boxFilter(..., normalize=false), BORDER_REFLECT_101).
+
+    With precomputed banded matrices Sh [H,H], Sw [W,W] (box_sum_matrix),
+    this is (Sh^T @ img) @ Sw on the MXU; without them it falls back to a
+    general formulation."""
+    if Sh is not None and Sw is not None:
+        v = jnp.matmul(Sh.T, img, precision=jax.lax.Precision.HIGHEST)
+        return jnp.matmul(v, Sw, precision=jax.lax.Precision.HIGHEST)
     r = window // 2
     x = jnp.pad(img, ((r, r), (r, r)), mode="reflect")
-    # horizontal then vertical sliding sums via cumsum differences
-    c = jnp.cumsum(x, axis=1)
-    c = jnp.pad(c, ((0, 0), (1, 0)))
-    h = c[:, window:] - c[:, :-window]
-    c2 = jnp.cumsum(h, axis=0)
-    c2 = jnp.pad(c2, ((1, 0), (0, 0)))
-    return c2[window:, :] - c2[:-window, :]
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (window, window), (1, 1), "VALID"
+    )
 
 
 class NormalEstimatorCache(NamedTuple):
@@ -53,6 +71,8 @@ class NormalEstimatorCache(NamedTuple):
     y0_n_sq_inv: jax.Array
     Q: jax.Array         # f32 [H, W, 6] packed symmetric inverse (11,12,13,22,23,33)
     window: int
+    Sh: jax.Array        # f32 [H, H] vertical box-sum matrix
+    Sw: jax.Array        # f32 [W, W] horizontal box-sum matrix
 
 
 def build_cache(width: int, height: int, K: np.ndarray, window: int = 11) -> NormalEstimatorCache:
@@ -104,6 +124,8 @@ def build_cache(width: int, height: int, K: np.ndarray, window: int = 11) -> Nor
         y0_n_sq_inv=f32(y0n),
         Q=f32(Q),
         window=window,
+        Sh=f32(box_sum_matrix(height, window)),
+        Sw=f32(box_sum_matrix(width, window)),
     )
 
 
@@ -129,9 +151,9 @@ def compute_normals(cache: NormalEstimatorCache, depth: jax.Array) -> jax.Array:
     ||n||^2 (fusion rejects ||n||^2 < 0.1, MapGradPixelSdf.cpp:95).
     """
     z_inv = jnp.where(depth != 0.0, 1.0 / depth, 0.0)
-    b1 = box_filter(cache.x0_n_sq_inv * z_inv, cache.window)
-    b2 = box_filter(cache.y0_n_sq_inv * z_inv, cache.window)
-    b3 = box_filter(cache.n_sq_inv * z_inv, cache.window)
+    b1 = box_filter(cache.x0_n_sq_inv * z_inv, cache.window, cache.Sh, cache.Sw)
+    b2 = box_filter(cache.y0_n_sq_inv * z_inv, cache.window, cache.Sh, cache.Sw)
+    b3 = box_filter(cache.n_sq_inv * z_inv, cache.window, cache.Sh, cache.Sw)
     Q = cache.Q
     nx = b1 * Q[..., 0] + b2 * Q[..., 1] + b3 * Q[..., 2]
     ny = b1 * Q[..., 1] + b2 * Q[..., 3] + b3 * Q[..., 4]

@@ -85,18 +85,34 @@ def create(cfg: GridConfig) -> VoxelGrid:
 # ---------------------------------------------------------------------------
 
 
-def pack_key(block_coords: jax.Array, cfg: GridConfig) -> jax.Array:
-    """Pack int32 block coords (…,3) into one non-negative int32 key.
+def pack_key_xyz(x: jax.Array, y: jax.Array, z: jax.Array,
+                 cfg: GridConfig) -> jax.Array:
+    """Pack int32 block coordinate components into one non-negative int32
+    key. Out-of-range coordinates return EMPTY_KEY (treated as unmappable —
+    the sample is dropped, mirroring "outside the representable volume").
 
-    Out-of-range coordinates return EMPTY_KEY (treated as unmappable — the
-    sample is dropped, mirroring "outside the representable volume").
+    Component-array API: the hot paths keep x/y/z as separate full-size
+    arrays because [N, 3]-shaped coordinate math (3-wide minor axis) is a
+    TPU compile-time tarpit.
     """
     bits = cfg.coord_bits
     half = 1 << (bits - 1)
-    shifted = block_coords + half
-    in_range = jnp.all((shifted >= 0) & (shifted < (1 << bits)), axis=-1)
-    key = (shifted[..., 0] << (2 * bits)) | (shifted[..., 1] << bits) | shifted[..., 2]
+    lim = 1 << bits
+    x = x + half
+    y = y + half
+    z = z + half
+    in_range = (
+        (x >= 0) & (x < lim) & (y >= 0) & (y < lim) & (z >= 0) & (z < lim)
+    )
+    key = (x << (2 * bits)) | (y << bits) | z
     return jnp.where(in_range, key, EMPTY_KEY)
+
+
+def pack_key(block_coords: jax.Array, cfg: GridConfig) -> jax.Array:
+    """(…,3)-array convenience wrapper over pack_key_xyz."""
+    return pack_key_xyz(
+        block_coords[..., 0], block_coords[..., 1], block_coords[..., 2], cfg
+    )
 
 
 def unpack_key(key: jax.Array, cfg: GridConfig) -> jax.Array:
@@ -160,29 +176,28 @@ def block_local_to_voxel(block_coords: jax.Array, cfg: GridConfig) -> jax.Array:
 def lookup_keys(grid: VoxelGrid, keys: jax.Array, cfg: GridConfig) -> jax.Array:
     """Find block slots for packed keys (…,). Returns -1 where absent.
 
-    Vectorized linear probing: every live query gathers its probe slot each
-    round; queries freeze once they hit their key or an empty slot. Bounded
-    by cfg.max_probes (table is sized for load factor <= 0.5 so long probe
-    chains are vanishingly rare; a chain overflow reports "absent", which is
-    safe: fusion then re-inserts, and the sticky `overflow` flag from
-    insertion is the signal to grow the table offline).
+    Loop-free vectorized probing: all cfg.max_probes probe positions are
+    gathered at once ([N, P] one-shot gather) and the first match selected —
+    a single fused gather+select instead of a P-round `fori_loop`, which the
+    TPU compiler handles ~20x faster at compile time and which keeps every
+    query a pure bandwidth op. Probe chains are bounded by construction:
+    insertion refuses placements beyond max_probes (overflow flag -> grow),
+    so the table never contains a key this lookup cannot see. Tables are
+    sized for load factor <= 0.25, making chains > 8 vanishingly rare.
     """
     ts = cfg.table_size
+    P = cfg.max_probes
     h0 = _hash(keys, ts)
-    invalid = keys == EMPTY_KEY
-
-    def body(p, carry):
-        slot, done = carry
-        idx = (h0 + p) & (ts - 1)
-        k = grid.table_keys[idx]
-        found = (k == keys) & ~done
-        slot = jnp.where(found, grid.table_slots[idx], slot)
-        done = done | found | (k == EMPTY_KEY)
-        return slot, done
-
-    slot0 = jnp.full_like(h0, -1)
-    slot, _ = jax.lax.fori_loop(0, cfg.max_probes, body, (slot0, invalid))
-    return slot
+    idx = (h0[..., None] + jnp.arange(P, dtype=jnp.int32)) & (ts - 1)  # (…,P)
+    k = grid.table_keys[idx]
+    # entries are never deleted, so a present key always sits before the
+    # first empty slot of its chain: a plain match scan is sufficient
+    hit = k == keys[..., None]
+    any_hit = jnp.any(hit, axis=-1)
+    first = jnp.argmax(hit, axis=-1).astype(jnp.int32)
+    slot = grid.table_slots[(h0 + first) & (ts - 1)]
+    valid = any_hit & (keys != EMPTY_KEY)
+    return jnp.where(valid, slot, -1)
 
 
 def lookup_voxels(grid: VoxelGrid, voxel_idx: jax.Array, cfg: GridConfig):
@@ -297,6 +312,44 @@ def ensure_blocks(grid: VoxelGrid, voxel_idx: jax.Array, valid: jax.Array,
     keys = jnp.where(valid.reshape(-1), keys, EMPTY_KEY)
     unique = jnp.unique(keys, size=max_unique, fill_value=EMPTY_KEY)
     return insert_keys(grid, unique, cfg)
+
+
+# ---------------------------------------------------------------------------
+# growth (episodic host-side rehash)
+# ---------------------------------------------------------------------------
+
+
+def grow(grid: VoxelGrid, cfg: GridConfig, factor: int = 2):
+    """Return (bigger_grid, bigger_cfg): capacity and table scaled by
+    `factor`, all existing blocks re-inserted, voxel data copied.
+
+    This is the episodic host-side rehash that replaces phmap's automatic
+    growth (SURVEY.md §7 "hard parts"): dynamic insertion can't resize under
+    jit, so fusion sets the sticky `overflow` flag and the driver grows the
+    arrays between frames. Samples dropped in the overflowing frame are
+    re-observed by later frames (fusion is a running weighted mean).
+    """
+    import dataclasses
+
+    new_cfg = dataclasses.replace(
+        cfg,
+        num_blocks=cfg.num_blocks * factor,
+        table_size=cfg.table_size * factor,
+    )
+    big = create(new_cfg)
+    na = int(grid.num_active)
+    keys = pack_key(grid.block_coords[:na], cfg)
+    big = insert_keys(big, keys, new_cfg)
+    # collisions can reorder slot assignment — scatter data to each key's
+    # actual new slot
+    slots = lookup_keys(big, keys, new_cfg)
+    big = big._replace(
+        dist=big.dist.at[slots].set(grid.dist[:na]),
+        weight=big.weight.at[slots].set(grid.weight[:na]),
+        grad=big.grad.at[slots].set(grid.grad[:na]),
+        overflow=jnp.zeros((), bool),
+    )
+    return big, new_cfg
 
 
 # ---------------------------------------------------------------------------

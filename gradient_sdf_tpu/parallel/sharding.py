@@ -26,7 +26,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..config import FusionConfig, GridConfig, TrackerConfig
 from ..models import tracker as tracker_mod
@@ -113,63 +113,57 @@ def sharded_fuse_frame(mesh, grid, depth, cache, R, t, gcfg, fcfg,
     scatter is local per device followed by a single psum over the mesh.
     """
     normals_img = fusion_mod.compute_normals(cache, depth)
-    vi, valid, w, trunc_sdf, Rn, K = fusion_mod._sample_frame(
-        grid, depth, normals_img, cache, R, t, gcfg, fcfg
-    )
-    vi_flat = vi.reshape(-1, 3)
-    valid_flat = valid.reshape(-1)
-    w_flat = w.reshape(-1)
-    wd_flat = (w * trunc_sdf).reshape(-1)
-    wn = w[..., None] * Rn[..., None, :]
-    wn_flat = wn.reshape(-1, 3)
+    s = fusion_mod._sample_frame(depth, normals_img, cache, R, t, gcfg, fcfg)
 
-    grid = vg.ensure_blocks(grid, vi_flat, valid_flat, gcfg, max_unique_blocks)
+    unique = jnp.unique(s.keys, size=max_unique_blocks,
+                        fill_value=vg.EMPTY_KEY)
+    grid = vg.insert_keys(grid, unique, gcfg)
 
     n_dev = mesh.devices.size
-    pad = (-vi_flat.shape[0]) % n_dev
+    pad = (-s.keys.shape[0]) % n_dev
     if pad:
-        vi_flat = jnp.pad(vi_flat, ((0, pad), (0, 0)))
-        valid_flat = jnp.pad(valid_flat, (0, pad))
-        w_flat = jnp.pad(w_flat, (0, pad))
-        wd_flat = jnp.pad(wd_flat, (0, pad))
-        wn_flat = jnp.pad(wn_flat, ((0, pad), (0, 0)))
+        s = fusion_mod.FrameSamples(
+            keys=jnp.pad(s.keys, (0, pad), constant_values=vg.EMPTY_KEY),
+            local_lin=jnp.pad(s.local_lin, (0, pad)),
+            w=jnp.pad(s.w, (0, pad)),
+            wd=jnp.pad(s.wd, (0, pad)),
+            wn_x=jnp.pad(s.wn_x, (0, pad)),
+            wn_y=jnp.pad(s.wn_y, (0, pad)),
+            wn_z=jnp.pad(s.wn_z, (0, pad)),
+        )
 
     nvox = grid.num_blocks * grid.voxels_per_block
+    vpb = gcfg.voxels_per_block
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(_grid_spec_replicated(), P((RAY_AXIS, BLOCK_AXIS)),
-                  P((RAY_AXIS, BLOCK_AXIS)), P((RAY_AXIS, BLOCK_AXIS)),
-                  P((RAY_AXIS, BLOCK_AXIS)), P((RAY_AXIS, BLOCK_AXIS))),
-        out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        in_specs=(_grid_spec_replicated(),) + (P((RAY_AXIS, BLOCK_AXIS)),) * 7,
+        out_specs=tuple(P(BLOCK_AXIS) for _ in range(5)),
     )
-    def accumulate(grid, vi_s, valid_s, w_s, wd_s, wn_s):
-        lin, present = vg.lookup_voxels(grid, vi_s, gcfg)
-        ok = valid_s & present
-        lin = jnp.where(ok, lin, nvox)
-        w_acc = jnp.zeros((nvox,), jnp.float32).at[lin].add(
-            jnp.where(ok, w_s, 0.0), mode="drop")
-        wd_acc = jnp.zeros((nvox,), jnp.float32).at[lin].add(
-            jnp.where(ok, wd_s, 0.0), mode="drop")
-        wn_acc = jnp.zeros((nvox, 3), jnp.float32).at[lin].add(
-            jnp.where(ok[:, None], wn_s, 0.0), mode="drop")
-        # rays axis: full reduction; blocks axis: reduce_scatter so each
-        # device keeps only its block shard of the contribution field
-        w_acc = jax.lax.psum(w_acc, RAY_AXIS)
-        wd_acc = jax.lax.psum(wd_acc, RAY_AXIS)
-        wn_acc = jax.lax.psum(wn_acc, RAY_AXIS)
-        w_acc = jax.lax.psum_scatter(w_acc, BLOCK_AXIS, tiled=True)
-        wd_acc = jax.lax.psum_scatter(wd_acc, BLOCK_AXIS, tiled=True)
-        wn_acc = jax.lax.psum_scatter(wn_acc, BLOCK_AXIS, tiled=True)
-        return w_acc, wd_acc, wn_acc
+    def accumulate(grid, keys, local_lin, w, wd, wnx, wny, wnz):
+        slot = vg.lookup_keys(grid, keys, gcfg)
+        ok = slot >= 0
+        lin = jnp.where(ok, slot * vpb + local_lin, nvox)
+        accs = []
+        for vals in (w, wd, wnx, wny, wnz):
+            a = jnp.zeros((nvox,), jnp.float32).at[lin].add(vals, mode="drop")
+            # rays axis: full reduction; blocks axis: reduce_scatter so each
+            # device keeps only its block shard of the contribution field
+            a = jax.lax.psum(a, RAY_AXIS)
+            a = jax.lax.psum_scatter(a, BLOCK_AXIS, tiled=True)
+            accs.append(a)
+        return tuple(accs)
 
-    w_acc, wd_acc, wn_acc = accumulate(
-        grid, vi_flat, valid_flat, w_flat, wd_flat, wn_flat
+    w_acc, wd_acc, gx, gy, gz = accumulate(
+        grid, s.keys, s.local_lin, s.w, s.wd, s.wn_x, s.wn_y, s.wn_z
     )
     w_acc = w_acc.reshape(grid.dist.shape)
     wd_acc = wd_acc.reshape(grid.dist.shape)
-    wn_acc = wn_acc.reshape(grid.grad.shape)
+    wn_acc = jnp.stack(
+        [gx.reshape(grid.dist.shape), gy.reshape(grid.dist.shape),
+         gz.reshape(grid.dist.shape)], axis=-1
+    )
 
     new_weight = grid.weight + w_acc
     new_dist = jnp.where(

@@ -1,0 +1,79 @@
+"""Checkpoint / resume for the sparse SDF volume and trajectory.
+
+The reference has no mid-run checkpointing — persistence is end-of-run only
+(SURVEY.md §5.4). Here the whole reconstruction state (block-sparse grid,
+visibility bitfield, frame counter, poses so far) serializes to a single
+compressed npz, enabling `--resume` in Scan3D and crash recovery in long
+runs. Format is plain numpy: no framework lock-in, loadable for offline
+analysis, and doubles as the `allclose` parity artifact against the C++
+dumps.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import voxel_grid as vg
+
+
+FORMAT_VERSION = 1
+
+
+def save_state(path: str, grid: vg.VoxelGrid, *, vis=None, counter: int = 0,
+               poses=None, extra: Optional[dict] = None):
+    """poses: list of (timestamp, R [3,3], t [3])."""
+    data = {
+        "format_version": FORMAT_VERSION,
+        "counter": counter,
+        "table_keys": np.asarray(grid.table_keys),
+        "table_slots": np.asarray(grid.table_slots),
+        "num_active": np.asarray(grid.num_active),
+        "overflow": np.asarray(grid.overflow),
+        "block_coords": np.asarray(grid.block_coords),
+        "dist": np.asarray(grid.dist),
+        "weight": np.asarray(grid.weight),
+        "grad": np.asarray(grid.grad),
+    }
+    if vis is not None:
+        data["vis"] = np.asarray(vis)
+    if poses:
+        data["pose_stamps"] = np.asarray([p[0] for p in poses])
+        data["pose_R"] = np.stack([np.asarray(p[1]) for p in poses])
+        data["pose_t"] = np.stack([np.asarray(p[2]) for p in poses])
+    if extra:
+        for k, v in extra.items():
+            data["extra_" + k] = v
+    tmp = path + ".tmp.npz"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, **data)
+    os.replace(tmp, path)
+
+
+def load_state(path: str):
+    """Returns dict with grid, vis (or None), counter, poses (list)."""
+    z = np.load(path, allow_pickle=False)
+    grid = vg.VoxelGrid(
+        table_keys=jnp.asarray(z["table_keys"]),
+        table_slots=jnp.asarray(z["table_slots"]),
+        num_active=jnp.asarray(z["num_active"]),
+        overflow=jnp.asarray(z["overflow"]),
+        block_coords=jnp.asarray(z["block_coords"]),
+        dist=jnp.asarray(z["dist"]),
+        weight=jnp.asarray(z["weight"]),
+        grad=jnp.asarray(z["grad"]),
+    )
+    vis = jnp.asarray(z["vis"]) if "vis" in z else None
+    poses = []
+    if "pose_stamps" in z:
+        for ts, R, t in zip(z["pose_stamps"], z["pose_R"], z["pose_t"]):
+            poses.append((str(ts), R, t))
+    return {
+        "grid": grid,
+        "vis": vis,
+        "counter": int(z["counter"]),
+        "poses": poses,
+    }

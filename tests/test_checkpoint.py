@@ -1,0 +1,76 @@
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gradient_sdf_tpu.apps import make_synth, scan3d
+from gradient_sdf_tpu.config import GridConfig
+from gradient_sdf_tpu.ops import voxel_grid as vg
+from gradient_sdf_tpu.utils import checkpoint as ckpt
+
+
+def test_state_roundtrip(tmp_path):
+    gcfg = GridConfig(num_blocks=128, table_size=512)
+    grid = vg.create(gcfg)
+    coords = jnp.asarray([[1, 2, 3], [-4, 0, 5]], jnp.int32)
+    grid = vg.insert_keys(grid, vg.pack_key(coords, gcfg), gcfg)
+    grid = grid._replace(dist=grid.dist.at[0, 7].set(0.5))
+    vis = jnp.ones((128, 512, 2), jnp.uint32)
+    poses = [("001", np.eye(3, dtype=np.float32), np.zeros(3, np.float32)),
+             ("002", np.eye(3, dtype=np.float32), np.ones(3, np.float32))]
+
+    path = str(tmp_path / "state.npz")
+    ckpt.save_state(path, grid, vis=vis, counter=2, poses=poses)
+    state = ckpt.load_state(path)
+
+    g2 = state["grid"]
+    assert int(g2.num_active) == 2
+    np.testing.assert_array_equal(np.asarray(g2.table_keys),
+                                  np.asarray(grid.table_keys))
+    np.testing.assert_allclose(np.asarray(g2.dist), np.asarray(grid.dist))
+    np.testing.assert_array_equal(np.asarray(state["vis"]), np.asarray(vis))
+    assert state["counter"] == 2
+    assert len(state["poses"]) == 2
+    assert state["poses"][1][0] == "002"
+    np.testing.assert_allclose(state["poses"][1][2], np.ones(3))
+
+
+def test_scan3d_checkpoint_resume_equivalence(tmp_path):
+    """Run 4 frames straight vs 2 frames + checkpoint + resume 2: same grid."""
+    data = str(tmp_path / "data")
+    make_synth.generate(data, frames=4, seed=3, width=64, height=48,
+                        noise=False, arc_deg=3.0)
+
+    out_a = str(tmp_path / "a")
+    args = scan3d.build_parser().parse_args([
+        "--input", data, "--results", out_a, "--pose-file", "gt_poses.txt",
+        "--data-type", "synth", "--voxel-size", "0.02",
+    ])
+    scan3d.run_scan(args)
+
+    out_b = str(tmp_path / "b")
+    args = scan3d.build_parser().parse_args([
+        "--input", data, "--results", out_b, "--pose-file", "gt_poses.txt",
+        "--data-type", "synth", "--voxel-size", "0.02",
+        "--last", "1", "--checkpoint-every", "1",
+    ])
+    scan3d.run_scan(args)
+    args = scan3d.build_parser().parse_args([
+        "--input", data, "--results", out_b, "--pose-file", "gt_poses.txt",
+        "--data-type", "synth", "--voxel-size", "0.02",
+        "--resume", os.path.join(out_b, "checkpoint.npz"),
+    ])
+    metrics = scan3d.run_scan(args)
+    assert metrics["frames"] == 2  # only the remaining frames processed
+
+    # identical trajectories and identical SDF dumps
+    from gradient_sdf_tpu.utils import tumio
+
+    ta = tumio.read_trajectory(os.path.join(out_a, "_poses.txt"))
+    tb = tumio.read_trajectory(os.path.join(out_b, "_poses.txt"))
+    assert len(ta) == len(tb) == 4
+    for (sa, Ra, taa), (sb, Rb, tbb) in zip(ta, tb):
+        assert sa == sb
+        np.testing.assert_allclose(Ra, Rb, atol=1e-6)
+        np.testing.assert_allclose(taa, tbb, atol=1e-6)

@@ -102,3 +102,29 @@ def test_insert_jit_compiles():
     insert = jax.jit(lambda g, k: vg.insert_keys(g, k, CFG))
     grid = insert(grid, keys)
     assert int(grid.num_active) == 2
+
+
+def test_grow_preserves_data():
+    import dataclasses
+
+    small = GridConfig(num_blocks=8, table_size=32, max_probes=16)
+    grid = vg.create(small)
+    coords = jnp.asarray(np.arange(21).reshape(7, 3), dtype=jnp.int32)
+    keys = vg.pack_key(coords, small)
+    grid = vg.insert_keys(grid, keys, small)
+    # write recognizable data
+    dist = np.array(vg.flat_field(grid.dist)).reshape(grid.dist.shape)
+    slots = np.asarray(vg.lookup_keys(grid, keys, small))
+    dist[slots, 0] = np.arange(7) + 1.0
+    grid = grid._replace(dist=jnp.asarray(dist))
+
+    big, big_cfg = vg.grow(grid, small)
+    assert big_cfg.num_blocks == 16
+    assert int(big.num_active) == 7
+    assert not bool(big.overflow)
+    new_slots = np.asarray(vg.lookup_keys(big, vg.pack_key(coords, big_cfg), big_cfg))
+    assert np.all(new_slots >= 0)
+    got = np.asarray(big.dist)[new_slots, 0]
+    np.testing.assert_allclose(got, np.arange(7) + 1.0)
+    # coords recorded
+    np.testing.assert_array_equal(np.asarray(big.block_coords)[new_slots], coords)
