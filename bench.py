@@ -6,20 +6,24 @@ vs_baseline is fps / 30: the BASELINE.md target is real-time (>30 fps)
 tracking on one v5e chip; the C++ reference publishes no numbers
 (BASELINE.json "published": {}).
 
-Secondary fields: fusion Mvoxel-updates/s, raycast Mrays/s, tracking
-iteration rate.
+Secondary fields: fusion Mvoxel-updates/s, raycast Mrays/s.
+
+Engineering notes for this environment: every jitted program costs minutes
+of remote compile (no client-side cache), and eager op dispatch is a
+per-op roundtrip — so everything here is jitted, the program count is kept
+minimal, and each phase is fault-isolated so a failed/slow phase still
+yields a JSON line.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
-# persistent compile cache: TPU compiles go through a remote service here and
-# cost minutes per program; cache them across bench runs
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
@@ -30,7 +34,7 @@ import jax.numpy as jnp
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def timeit(fn, *args, iters=10, warmup=2):
+def timeit(fn, *args, iters=10, warmup=1):
     for _ in range(warmup):
         out = fn(*args)
     jax.block_until_ready(out)
@@ -41,12 +45,15 @@ def timeit(fn, *args, iters=10, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
+def log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     import argparse
 
     ap = argparse.ArgumentParser("bench")
-    ap.add_argument("--profile", default=None,
-                    help="write a jax.profiler trace to this directory")
+    ap.add_argument("--profile", default=None)
     opts, _ = ap.parse_known_args()
 
     from gradient_sdf_tpu.config import FusionConfig, GridConfig, TrackerConfig
@@ -54,10 +61,11 @@ def main():
     from gradient_sdf_tpu.models import tracker
     from gradient_sdf_tpu.ops import fusion, normals, raycast
     from gradient_sdf_tpu.ops import voxel_grid as vg
+    from gradient_sdf_tpu.utils import se3
 
     W, H = 640, 480
     K = synth.KINECT_K
-    gcfg = GridConfig(voxel_size=0.01, num_blocks=2**15, table_size=2**16)
+    gcfg = GridConfig(voxel_size=0.01, num_blocks=2**15)
     fcfg = FusionConfig(trunc_voxels=5.0)
     tcfg = TrackerConfig()
 
@@ -65,71 +73,78 @@ def main():
     poses = synth.orbit_poses(n=16, radius=2.0)
     cache = normals.build_cache(W, H, K, window=11)
 
+    result = {
+        "metric": "scan3d_fps_640x480",
+        "value": 0.0,
+        "unit": "frames/s",
+        "vs_baseline": 0.0,
+        "device": str(jax.devices()[0]),
+    }
+
+    render_jit = jax.jit(
+        lambda R, t: synth.render_depth(world, R, t, K, W, H)
+    )
     fuse_jit = jax.jit(
         lambda g, d, R, t: fusion.fuse_frame(g, d, cache, R, t, gcfg, fcfg)
     )
-    track_jit = jax.jit(
-        lambda g, d, R, t: tracker.track_frame(
-            g, d, jnp.asarray(K), R, t, gcfg, fcfg, tcfg
+
+    try:
+        log("compiling renderer + fusion...")
+        t0 = time.time()
+        grid = vg.create(gcfg)
+        depths = []
+        for i in range(6):
+            R, t = (jnp.asarray(poses[i][0]), jnp.asarray(poses[i][1]))
+            d = render_jit(R, t)
+            depths.append(d)
+            grid = fuse_jit(grid, d, R, t)
+        jax.block_until_ready(grid.dist)
+        log(f"map built ({time.time()-t0:.0f}s incl. compiles), "
+            f"{int(grid.num_active)} blocks")
+
+        R4, t4 = (jnp.asarray(poses[4][0]), jnp.asarray(poses[4][1]))
+        if opts.profile:
+            with jax.profiler.trace(opts.profile):
+                jax.block_until_ready(fuse_jit(grid, depths[4], R4, t4).dist)
+        fuse_s = timeit(lambda: fuse_jit(grid, depths[4], R4, t4), iters=10)
+        voxel_updates = W * H * (2 * int(fcfg.trunc_voxels) + 1)
+        result["fusion_mvoxel_updates_per_s"] = round(voxel_updates / fuse_s / 1e6, 2)
+        result["fuse_ms"] = round(fuse_s * 1e3, 2)
+    except Exception as e:  # pragma: no cover
+        result["fusion_error"] = repr(e)[:200]
+        print(json.dumps(result))
+        return
+
+    try:
+        log("compiling tracker...")
+        track_jit = jax.jit(
+            lambda g, d, R, t: tracker.track_frame(
+                g, d, jnp.asarray(K), R, t, gcfg, fcfg, tcfg
+            )
         )
-    )
+        xi = jnp.asarray([0.01, -0.01, 0.015, 0.008, -0.01, 0.006], jnp.float32)
+        dR, dt = se3.se3_exp(xi)
+        R0, t0p = se3.se3_mul(dR, dt, R4, t4)
+        track_s = timeit(lambda: track_jit(grid, depths[4], R0, t0p), iters=5)
+        result["track_ms"] = round(track_s * 1e3, 2)
+        frame_s = track_s + fuse_s
+        result["value"] = round(1.0 / frame_s, 3)
+        result["vs_baseline"] = round(1.0 / frame_s / 30.0, 3)
+    except Exception as e:  # pragma: no cover
+        result["track_error"] = repr(e)[:200]
 
-    import sys
-    print("# compiling fusion...", file=sys.stderr, flush=True)
-    # build a map from a few GT-pose frames
-    grid = vg.create(gcfg)
-    depths = []
-    for i in range(8):
-        R, t = poses[i]
-        d = synth.render_depth(world, jnp.asarray(R), jnp.asarray(t), K, W, H)
-        depths.append(d)
-        grid = fuse_jit(grid, d, jnp.asarray(R), jnp.asarray(t))
-    jax.block_until_ready(grid.dist)
-
-    R4, t4 = (jnp.asarray(poses[4][0]), jnp.asarray(poses[4][1]))
-
-    if opts.profile:
-        with jax.profiler.trace(opts.profile):
-            jax.block_until_ready(fuse_jit(grid, depths[4], R4, t4).dist)
-
-    # fusion throughput: samples per frame = W*H*(2*trunc+1)
-    fuse_s = timeit(lambda: fuse_jit(grid, depths[4], R4, t4), iters=10)
-    voxel_updates = W * H * (2 * int(fcfg.trunc_voxels) + 1)
-    fusion_mvox = voxel_updates / fuse_s / 1e6
-
-    print("# compiling tracker...", file=sys.stderr, flush=True)
-    # tracking: full 25-iter budget from a perturbed pose
-    from gradient_sdf_tpu.utils import se3
-
-    xi = jnp.asarray([0.01, -0.01, 0.015, 0.008, -0.01, 0.006], jnp.float32)
-    dR, dt = se3.se3_exp(xi)
-    R0, t0 = se3.se3_mul(dR, dt, R4, t4)
-    track_s = timeit(lambda: track_jit(grid, depths[4], R0, t0), iters=5)
-
-    print("# compiling raycaster...", file=sys.stderr, flush=True)
-    # raycast Mrays/s
-    rc_jit = jax.jit(
-        lambda g, R, t: raycast.render_depth_normal(
-            g, jnp.asarray(K), R, t, W, H, gcfg, fcfg, s_max=3.5
+    try:
+        log("compiling raycaster...")
+        rc_jit = jax.jit(
+            lambda g, R, t: raycast.render_depth_normal(
+                g, jnp.asarray(K), R, t, W, H, gcfg, fcfg, s_max=3.5
+            )
         )
-    )
-    rc_s = timeit(lambda: rc_jit(grid, R4, t4), iters=5)
-    mrays = W * H / rc_s / 1e6
+        rc_s = timeit(lambda: rc_jit(grid, R4, t4), iters=5)
+        result["raycast_mrays_per_s"] = round(W * H / rc_s / 1e6, 3)
+    except Exception as e:  # pragma: no cover
+        result["raycast_error"] = repr(e)[:200]
 
-    frame_s = track_s + fuse_s
-    fps = 1.0 / frame_s
-
-    result = {
-        "metric": "scan3d_fps_640x480",
-        "value": round(fps, 3),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / 30.0, 3),
-        "fusion_mvoxel_updates_per_s": round(fusion_mvox, 2),
-        "raycast_mrays_per_s": round(mrays, 3),
-        "track_ms": round(track_s * 1e3, 2),
-        "fuse_ms": round(fuse_s * 1e3, 2),
-        "device": str(jax.devices()[0]),
-    }
     print(json.dumps(result))
 
 

@@ -21,18 +21,20 @@ class GridConfig:
 
     TPU-native replacement for the reference's pointer-stable voxel hash map
     (`MapGradPixelSdf.h:65-68`): voxels live in 8x8x8 blocks stored as dense
-    SoA arrays in HBM; a fixed-capacity open-addressing hash table maps packed
-    block coordinates to block slots.
+    SoA arrays in HBM; a dense block *directory* (dir_dim^3 int32 in HBM)
+    maps block coordinates to block slots by arithmetic + one gather — no
+    hashing or probing (rationale: ops/voxel_grid.py module docstring and
+    PERF_NOTES.md).
     """
 
     voxel_size: float = 0.01          # --voxel-size default, main_scan_3d.cpp:75
     block_shape: int = 8              # voxels per block edge (8^3 = 512 = 4 TPU lanes)
     num_blocks: int = 2 ** 14         # block capacity (16384 blocks = 8.4M voxels)
-    table_size: int = 2 ** 16         # hash slots; keep load factor <= 0.25
-    max_probes: int = 8               # probing bound (loop-free [N, P] gather;
-    # insertion past this distance sets overflow -> grid growth)
-    coord_bits: int = 10              # signed bits per packed block coordinate
-    # -> block coords in [-512, 511]; world range +-(512 * 8 * voxel_size)
+    dir_dim: int = 128                # directory edge; block coords in
+    # [-dir_dim/2, dir_dim/2) -> world range +-(dir_dim/2 * 8 * voxel_size),
+    # i.e. +-5.1 m at 1 cm voxels; memory dir_dim^3 * 4 B (8 MB at 128)
+    table_size: int = 0               # deprecated (hash design); ignored
+    max_probes: int = 0               # deprecated (hash design); ignored
 
     @property
     def voxels_per_block(self) -> int:

@@ -169,7 +169,7 @@ def build_hr_grid(hr: HrVoxels, gcfg: GridConfig):
         gcfg,
         voxel_size=gcfg.voxel_size / 2.0,
         num_blocks=min(gcfg.num_blocks * 4, 2 ** 17),
-        table_size=min(gcfg.table_size * 4, 2 ** 18),
+        dir_dim=gcfg.dir_dim * 2,  # half-size voxels double the block range
     )
     hgrid = vg.create(hr_gcfg)
 

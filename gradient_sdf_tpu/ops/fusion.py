@@ -207,9 +207,9 @@ def fuse_frame(
     normal_img = compute_normals(cache, depth)
     s = _sample_frame(depth, normal_img, cache, R, t, gcfg, fcfg)
 
-    # allocate blocks for this frame's unique keys
-    unique = jnp.unique(s.keys, size=max_unique_blocks, fill_value=vg.EMPTY_KEY)
-    grid = vg.insert_keys(grid, unique, gcfg)
+    # allocate blocks for this frame's samples (claim-based insert
+    # deduplicates natively — no sort/unique pass needed)
+    grid = vg.insert_keys(grid, s.keys, gcfg)
 
     grid, lin, ok = _apply_samples(grid, s, gcfg, accumulate_gradients)
 

@@ -1,26 +1,39 @@
-"""Block-sparse voxel grid: the TPU-native voxel hash map.
+"""Block-sparse voxel grid: dense block directory + SoA voxel blocks.
 
 Replaces the reference's pointer-stable CPU hash map
 (`cpp/include/sdf_tracker/MapGradPixelSdf.h:65-68`:
-`phmap::parallel_node_hash_map<Vec3i, SdfVoxel>`) with a design XLA can
-compile: voxels live in dense 8x8x8 blocks stored as structure-of-arrays in
-HBM, and a fixed-capacity open-addressing hash table maps *packed integer
-block coordinates* to block slots. Everything — lookup, insertion, scatter
-updates — is expressed as vectorized gathers/scatters with static shapes, so
-the whole fusion/tracking pipeline stays inside one `jit`.
+`phmap::parallel_node_hash_map<Vec3i, SdfVoxel>`) with a design matched to
+TPU memory behavior: voxels live in dense 8x8x8 blocks stored as
+structure-of-arrays in HBM, and a **dense block directory** — an int32 array
+over the representable block volume (dir_dim^3, 8 MB at the default 128^3)
+— maps block coordinates to block slots by pure arithmetic + one direct
+gather. Everything — lookup, insertion, scatter updates — is vectorized
+with static shapes, so the whole fusion/tracking pipeline stays inside one
+`jit`.
 
-Key differences from the CPU design, and why:
-  * CPU: per-voxel nodes, pointer stability, rehash on growth.
-    TPU: per-*block* table (512 voxels per entry → 512x fewer hash ops),
-    pre-sized capacity, insertion via scatter-min arbitration (deterministic,
-    no atomics/critical sections — contrast `MapGradPixelSdfOmp.cpp:112-121`).
+Design history note: the first TPU design used open-addressing hashing like
+GPU voxel-hashing pipelines do. On TPU that is strictly worse: random
+access costs ~100 ns/element regardless, so 8-probe chains multiply the
+frame's dominant cost by 8, and Mosaic/Pallas offers no vectorized VMEM
+gather to hide the table on-chip ("Cannot do int indexing on TPU"). A
+dense directory does one gather per query, needs no collision handling,
+and makes insertion a single scatter-min claim — deterministic, no
+atomics/mutexes (contrast `MapGradPixelSdfOmp.cpp:112-121`). Memory is the
+trade: dir_dim^3 * 4 bytes (8 MB covers +-5.1 m at 1 cm voxels; 256^3 =
+67 MB covers +-10 m).
+
+Terminology: a "key" is the directory's linear index for a block
+(EMPTY_KEY = -1 for out-of-range/invalid), produced by `pack_key_xyz` from
+block coordinates.
+
+Other differences from the CPU design:
   * CPU: `float` running weighted mean updated sequentially per sample
     (`MapGradPixelSdf.cpp:108-116`). TPU: commutative per-frame accumulators
     (sum w, sum w·sdf, sum w·n) merged once — order-independent and exactly
     equal to the sequential running mean in exact arithmetic.
-  * Voxel->block addressing uses floor division; block coords are packed into
-    one int32 key (10 signed bits per axis by default → ±512 blocks ≈ ±41 m
-    at 1 cm voxels), so key compare/hash is a single int32 op.
+  * Coordinate math is carried as separate x/y/z component arrays in hot
+    paths ([N, 3]-shaped math with a 3-wide minor axis is a TPU
+    compile-time tarpit; see PERF_NOTES.md).
 """
 
 from __future__ import annotations
@@ -41,15 +54,15 @@ class VoxelGrid(NamedTuple):
 
     Per-voxel fields mirror `SdfVoxel{dist, grad, weight}`
     (`cpp/include/sdf_voxel/SdfVoxel.h:45-57`); `dist` stores the running
-    weighted mean of truncated projective SDF samples, `grad` the weighted sum
-    of world-frame (inward) normals, `weight` the accumulated fusion weight.
+    weighted mean of truncated projective SDF samples, `grad` the weighted
+    sum of world-frame (inward) normals, `weight` the accumulated fusion
+    weight.
     """
 
-    # hash table
-    table_keys: jax.Array   # int32 [table_size], packed block key or -1
-    table_slots: jax.Array  # int32 [table_size], block slot or -1
+    # dense block directory: block dir-index -> slot (-1 = unallocated)
+    directory: jax.Array    # int32 [dir_dim^3]
     num_active: jax.Array   # int32 [], allocated block count
-    overflow: jax.Array     # bool [], sticky insertion-failure flag
+    overflow: jax.Array     # bool [], sticky capacity-overflow flag
     # block store (SoA), voxel-linearized x-fastest within each block
     block_coords: jax.Array  # int32 [num_blocks, 3]
     dist: jax.Array          # f32 [num_blocks, B^3]
@@ -66,11 +79,10 @@ class VoxelGrid(NamedTuple):
 
 
 def create(cfg: GridConfig) -> VoxelGrid:
-    nb, vpb, ts = cfg.num_blocks, cfg.voxels_per_block, cfg.table_size
-    assert ts & (ts - 1) == 0, "table_size must be a power of two"
+    nb, vpb = cfg.num_blocks, cfg.voxels_per_block
+    d3 = cfg.dir_dim**3
     return VoxelGrid(
-        table_keys=jnp.full((ts,), EMPTY_KEY, dtype=jnp.int32),
-        table_slots=jnp.full((ts,), -1, dtype=jnp.int32),
+        directory=jnp.full((d3,), EMPTY_KEY, dtype=jnp.int32),
         num_active=jnp.zeros((), dtype=jnp.int32),
         overflow=jnp.zeros((), dtype=bool),
         block_coords=jnp.zeros((nb, 3), dtype=jnp.int32),
@@ -81,30 +93,27 @@ def create(cfg: GridConfig) -> VoxelGrid:
 
 
 # ---------------------------------------------------------------------------
-# coordinate packing / hashing
+# coordinate <-> directory index
 # ---------------------------------------------------------------------------
 
 
 def pack_key_xyz(x: jax.Array, y: jax.Array, z: jax.Array,
                  cfg: GridConfig) -> jax.Array:
-    """Pack int32 block coordinate components into one non-negative int32
-    key. Out-of-range coordinates return EMPTY_KEY (treated as unmappable —
-    the sample is dropped, mirroring "outside the representable volume").
+    """Block coordinate components -> directory linear index (int32).
 
-    Component-array API: the hot paths keep x/y/z as separate full-size
-    arrays because [N, 3]-shaped coordinate math (3-wide minor axis) is a
-    TPU compile-time tarpit.
+    Out-of-range coordinates return EMPTY_KEY (treated as unmappable — the
+    sample is dropped, mirroring "outside the representable volume").
+    Component-array API: hot paths keep x/y/z as separate full-size arrays.
     """
-    bits = cfg.coord_bits
-    half = 1 << (bits - 1)
-    lim = 1 << bits
-    x = x + half
-    y = y + half
-    z = z + half
+    D = cfg.dir_dim
+    half = D // 2
+    xs = x + half
+    ys = y + half
+    zs = z + half
     in_range = (
-        (x >= 0) & (x < lim) & (y >= 0) & (y < lim) & (z >= 0) & (z < lim)
+        (xs >= 0) & (xs < D) & (ys >= 0) & (ys < D) & (zs >= 0) & (zs < D)
     )
-    key = (x << (2 * bits)) | (y << bits) | z
+    key = (xs * D + ys) * D + zs
     return jnp.where(in_range, key, EMPTY_KEY)
 
 
@@ -116,20 +125,12 @@ def pack_key(block_coords: jax.Array, cfg: GridConfig) -> jax.Array:
 
 
 def unpack_key(key: jax.Array, cfg: GridConfig) -> jax.Array:
-    bits = cfg.coord_bits
-    half = 1 << (bits - 1)
-    mask = (1 << bits) - 1
-    x = ((key >> (2 * bits)) & mask) - half
-    y = ((key >> bits) & mask) - half
-    z = (key & mask) - half
-    return jnp.stack([x, y, z], axis=-1)
-
-
-def _hash(key: jax.Array, table_size: int) -> jax.Array:
-    """Fibonacci-style multiplicative hash on the packed key (uint32 mul)."""
-    h = (key.astype(jnp.uint32) * jnp.uint32(2654435761)) >> jnp.uint32(16)
-    h = h ^ (h >> jnp.uint32(8))
-    return (h & jnp.uint32(table_size - 1)).astype(jnp.int32)
+    D = cfg.dir_dim
+    half = D // 2
+    z = key % D
+    y = (key // D) % D
+    x = key // (D * D)
+    return jnp.stack([x - half, y - half, z - half], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -174,30 +175,14 @@ def block_local_to_voxel(block_coords: jax.Array, cfg: GridConfig) -> jax.Array:
 
 
 def lookup_keys(grid: VoxelGrid, keys: jax.Array, cfg: GridConfig) -> jax.Array:
-    """Find block slots for packed keys (…,). Returns -1 where absent.
+    """Directory indices (…,) -> block slots; -1 where absent/invalid.
 
-    Loop-free vectorized probing: all cfg.max_probes probe positions are
-    gathered at once ([N, P] one-shot gather) and the first match selected —
-    a single fused gather+select instead of a P-round `fori_loop`, which the
-    TPU compiler handles ~20x faster at compile time and which keeps every
-    query a pure bandwidth op. Probe chains are bounded by construction:
-    insertion refuses placements beyond max_probes (overflow flag -> grow),
-    so the table never contains a key this lookup cannot see. Tables are
-    sized for load factor <= 0.25, making chains > 8 vanishingly rare.
+    One direct gather — no probing, no collisions (see module docstring).
     """
-    ts = cfg.table_size
-    P = cfg.max_probes
-    h0 = _hash(keys, ts)
-    idx = (h0[..., None] + jnp.arange(P, dtype=jnp.int32)) & (ts - 1)  # (…,P)
-    k = grid.table_keys[idx]
-    # entries are never deleted, so a present key always sits before the
-    # first empty slot of its chain: a plain match scan is sufficient
-    hit = k == keys[..., None]
-    any_hit = jnp.any(hit, axis=-1)
-    first = jnp.argmax(hit, axis=-1).astype(jnp.int32)
-    slot = grid.table_slots[(h0 + first) & (ts - 1)]
-    valid = any_hit & (keys != EMPTY_KEY)
-    return jnp.where(valid, slot, -1)
+    d3 = cfg.dir_dim**3
+    safe = jnp.clip(keys, 0, d3 - 1)
+    slot = grid.directory[safe]
+    return jnp.where(keys >= 0, slot, -1)
 
 
 def lookup_voxels(grid: VoxelGrid, voxel_idx: jax.Array, cfg: GridConfig):
@@ -220,133 +205,93 @@ def lookup_voxels(grid: VoxelGrid, voxel_idx: jax.Array, cfg: GridConfig):
 
 
 def insert_keys(grid: VoxelGrid, keys: jax.Array, cfg: GridConfig) -> VoxelGrid:
-    """Insert a batch of *unique* packed keys (1-D, EMPTY_KEY = padding).
+    """Allocate blocks for the given directory indices (1-D; duplicates and
+    EMPTY_KEY padding allowed — no pre-deduplication needed).
 
-    Deterministic parallel open-addressing insert: each probing round, every
-    pending key claims its probe slot via a scatter-min arbitration on the
-    candidate index; winners write their key and are assigned block slots in
-    candidate order (stable → bit-for-bit reproducible across runs). Losers
-    and keys whose probe slot is occupied continue to the next round.
-    Replaces phmap's mutex-guarded insert (`MapGradPixelSdfOmp.cpp:112-121`)
-    with an atomics-free formulation.
+    Deterministic parallel claim: every new key scatter-mins its candidate
+    index into a claims array; per distinct key the lowest candidate wins
+    and is assigned the next block slot in candidate order (stable ->
+    bit-for-bit reproducible). Capacity overflow sets the sticky flag and
+    drops the claim (samples into it are dropped that frame and recovered
+    on later frames once the grid has grown).
     """
-    ts = cfg.table_size
+    d3 = cfg.dir_dim**3
     n = keys.shape[0]
     cand_ids = jnp.arange(n, dtype=jnp.int32)
 
-    # skip keys already present or invalid
     existing = lookup_keys(grid, keys, cfg)
-    pending0 = (keys != EMPTY_KEY) & (existing < 0)
+    want = (keys >= 0) & (existing < 0)
 
-    h0 = _hash(keys, ts)
-
-    def body(p, carry):
-        table_keys, table_slots, pending, num_active, overflow = carry
-        idx = (h0 + p) & (ts - 1)
-        slot_key = table_keys[idx]
-        slot_empty = slot_key == EMPTY_KEY
-        # also resolve: another pending key with same packed key cannot occur
-        # (keys are unique), but our key may have been written by ourselves in
-        # an earlier round — pending would already be False then.
-        want = pending & slot_empty
-        # arbitration: lowest candidate id wins each table slot
-        claims = jnp.full((ts,), INT32_MAX, dtype=jnp.int32)
-        claims = claims.at[jnp.where(want, idx, ts - 1)].min(
-            jnp.where(want, cand_ids, INT32_MAX)
-        )
-        won = want & (claims[idx] == cand_ids)
-        # allocate block slots in candidate order
-        order = jnp.cumsum(won.astype(jnp.int32)) - 1
-        new_slot = num_active + order
-        capacity_ok = new_slot < grid.num_blocks
-        place = won & capacity_ok
-        overflow = overflow | jnp.any(won & ~capacity_ok)
-        table_keys = table_keys.at[jnp.where(place, idx, ts)].set(
-            jnp.where(place, keys, EMPTY_KEY), mode="drop"
-        )
-        table_slots = table_slots.at[jnp.where(place, idx, ts)].set(
-            jnp.where(place, new_slot, -1), mode="drop"
-        )
-        num_active = num_active + jnp.sum(place.astype(jnp.int32))
-        pending = pending & ~place
-        return table_keys, table_slots, pending, num_active, overflow
-
-    table_keys, table_slots, pending, num_active, overflow = jax.lax.fori_loop(
-        0,
-        cfg.max_probes,
-        body,
-        (grid.table_keys, grid.table_slots, pending0, grid.num_active, grid.overflow),
+    claims = jnp.full((d3,), INT32_MAX, dtype=jnp.int32)
+    claims = claims.at[jnp.where(want, keys, d3)].min(
+        jnp.where(want, cand_ids, INT32_MAX), mode="drop"
     )
-    overflow = overflow | jnp.any(pending)  # probe chain exhausted
+    won = want & (claims[jnp.clip(keys, 0, d3 - 1)] == cand_ids)
 
-    # record coordinates for newly allocated blocks
-    slots_now = lookup_keys(
-        grid._replace(table_keys=table_keys, table_slots=table_slots), keys, cfg
+    order = jnp.cumsum(won.astype(jnp.int32)) - 1
+    new_slot = grid.num_active + order
+    ok = won & (new_slot < grid.num_blocks)
+    overflow = grid.overflow | jnp.any(won & ~ok)
+
+    directory = grid.directory.at[jnp.where(ok, keys, d3)].set(
+        jnp.where(ok, new_slot, -1), mode="drop"
     )
-    newly = pending0 & (slots_now >= 0)
-    coords = unpack_key(keys, cfg)
+    coords = unpack_key(jnp.maximum(keys, 0), cfg)
     block_coords = grid.block_coords.at[
-        jnp.where(newly, slots_now, grid.num_blocks)
-    ].set(jnp.where(newly[:, None], coords, 0), mode="drop")
+        jnp.where(ok, new_slot, grid.num_blocks)
+    ].set(jnp.where(ok[:, None], coords, 0), mode="drop")
 
     return grid._replace(
-        table_keys=table_keys,
-        table_slots=table_slots,
-        num_active=num_active,
+        directory=directory,
+        num_active=grid.num_active + jnp.sum(ok.astype(jnp.int32)),
         overflow=overflow,
         block_coords=block_coords,
     )
 
 
 def ensure_blocks(grid: VoxelGrid, voxel_idx: jax.Array, valid: jax.Array,
-                  cfg: GridConfig, max_unique: int) -> VoxelGrid:
+                  cfg: GridConfig, max_unique: int = 0) -> VoxelGrid:
     """Allocate blocks for all (valid) voxel indices that need them.
 
-    `max_unique` bounds the number of distinct blocks that can be touched per
-    call (static shape for jit); excess unique blocks set the overflow flag
-    implicitly by remaining unallocated (samples into them are dropped that
-    frame and recovered on later frames).
+    `max_unique` is accepted for backwards compatibility and ignored: the
+    claim-based insert needs no deduplication.
     """
     block, _ = voxel_to_block(voxel_idx.reshape(-1, 3), cfg)
     keys = pack_key(block, cfg)
     keys = jnp.where(valid.reshape(-1), keys, EMPTY_KEY)
-    unique = jnp.unique(keys, size=max_unique, fill_value=EMPTY_KEY)
-    return insert_keys(grid, unique, cfg)
+    return insert_keys(grid, keys, cfg)
 
 
 # ---------------------------------------------------------------------------
-# growth (episodic host-side rehash)
+# growth (episodic host-side capacity increase)
 # ---------------------------------------------------------------------------
 
 
 def grow(grid: VoxelGrid, cfg: GridConfig, factor: int = 2):
-    """Return (bigger_grid, bigger_cfg): capacity and table scaled by
-    `factor`, all existing blocks re-inserted, voxel data copied.
+    """Return (bigger_grid, bigger_cfg): block capacity scaled by `factor`.
 
-    This is the episodic host-side rehash that replaces phmap's automatic
-    growth (SURVEY.md §7 "hard parts"): dynamic insertion can't resize under
-    jit, so fusion sets the sticky `overflow` flag and the driver grows the
-    arrays between frames. Samples dropped in the overflowing frame are
-    re-observed by later frames (fusion is a running weighted mean).
+    The directory is spatial (size fixed by dir_dim) and slot ids are
+    preserved, so growth is a pure array enlargement — no rehash. Replaces
+    phmap's automatic growth (SURVEY.md §7 "hard parts"): capacity can't
+    resize under jit, so fusion sets the sticky `overflow` flag and the
+    driver grows the arrays between frames.
     """
     import dataclasses
 
-    new_cfg = dataclasses.replace(
-        cfg,
-        num_blocks=cfg.num_blocks * factor,
-        table_size=cfg.table_size * factor,
-    )
-    big = create(new_cfg)
-    na = int(grid.num_active)
-    keys = pack_key(grid.block_coords[:na], cfg)
-    big = insert_keys(big, keys, new_cfg)
-    # collisions can reorder slot assignment — scatter data to each key's
-    # actual new slot
-    slots = lookup_keys(big, keys, new_cfg)
-    big = big._replace(
-        dist=big.dist.at[slots].set(grid.dist[:na]),
-        weight=big.weight.at[slots].set(grid.weight[:na]),
-        grad=big.grad.at[slots].set(grid.grad[:na]),
+    new_cfg = dataclasses.replace(cfg, num_blocks=cfg.num_blocks * factor)
+    nb, vpb = cfg.num_blocks, cfg.voxels_per_block
+    pad = new_cfg.num_blocks - nb
+
+    def ext(a):
+        return jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+        )
+
+    big = grid._replace(
+        block_coords=ext(grid.block_coords),
+        dist=ext(grid.dist),
+        weight=ext(grid.weight),
+        grad=ext(grid.grad),
         overflow=jnp.zeros((), bool),
     )
     return big, new_cfg

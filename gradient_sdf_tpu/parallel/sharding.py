@@ -38,7 +38,7 @@ from .mesh import BLOCK_AXIS, RAY_AXIS
 
 def _grid_spec_replicated():
     return vg.VoxelGrid(
-        table_keys=P(), table_slots=P(), num_active=P(), overflow=P(),
+        directory=P(), num_active=P(), overflow=P(),
         block_coords=P(), dist=P(), weight=P(), grad=P(),
     )
 
@@ -115,9 +115,7 @@ def sharded_fuse_frame(mesh, grid, depth, cache, R, t, gcfg, fcfg,
     normals_img = fusion_mod.compute_normals(cache, depth)
     s = fusion_mod._sample_frame(depth, normals_img, cache, R, t, gcfg, fcfg)
 
-    unique = jnp.unique(s.keys, size=max_unique_blocks,
-                        fill_value=vg.EMPTY_KEY)
-    grid = vg.insert_keys(grid, unique, gcfg)
+    grid = vg.insert_keys(grid, s.keys, gcfg)
 
     n_dev = mesh.devices.size
     pad = (-s.keys.shape[0]) % n_dev

@@ -29,8 +29,7 @@ def save_state(path: str, grid: vg.VoxelGrid, *, vis=None, counter: int = 0,
     data = {
         "format_version": FORMAT_VERSION,
         "counter": counter,
-        "table_keys": np.asarray(grid.table_keys),
-        "table_slots": np.asarray(grid.table_slots),
+        "directory": np.asarray(grid.directory),
         "num_active": np.asarray(grid.num_active),
         "overflow": np.asarray(grid.overflow),
         "block_coords": np.asarray(grid.block_coords),
@@ -57,8 +56,7 @@ def load_state(path: str):
     """Returns dict with grid, vis (or None), counter, poses (list)."""
     z = np.load(path, allow_pickle=False)
     grid = vg.VoxelGrid(
-        table_keys=jnp.asarray(z["table_keys"]),
-        table_slots=jnp.asarray(z["table_slots"]),
+        directory=jnp.asarray(z["directory"]),
         num_active=jnp.asarray(z["num_active"]),
         overflow=jnp.asarray(z["overflow"]),
         block_coords=jnp.asarray(z["block_coords"]),

@@ -26,8 +26,8 @@ def test_state_roundtrip(tmp_path):
 
     g2 = state["grid"]
     assert int(g2.num_active) == 2
-    np.testing.assert_array_equal(np.asarray(g2.table_keys),
-                                  np.asarray(grid.table_keys))
+    np.testing.assert_array_equal(np.asarray(g2.directory),
+                                  np.asarray(grid.directory))
     np.testing.assert_allclose(np.asarray(g2.dist), np.asarray(grid.dist))
     np.testing.assert_array_equal(np.asarray(state["vis"]), np.asarray(vis))
     assert state["counter"] == 2

@@ -6,12 +6,13 @@ from gradient_sdf_tpu.config import GridConfig
 from gradient_sdf_tpu.ops import voxel_grid as vg
 
 
-CFG = GridConfig(num_blocks=2048, table_size=8192, max_probes=16)
+CFG = GridConfig(num_blocks=2048)
 
 
 def test_pack_unpack_roundtrip():
     rng = np.random.RandomState(1)
-    coords = rng.randint(-500, 500, size=(1000, 3)).astype(np.int32)
+    half = CFG.dir_dim // 2
+    coords = rng.randint(-half, half, size=(1000, 3)).astype(np.int32)
     keys = vg.pack_key(jnp.asarray(coords), CFG)
     back = np.asarray(vg.unpack_key(keys, CFG))
     np.testing.assert_array_equal(back, coords)
@@ -19,7 +20,9 @@ def test_pack_unpack_roundtrip():
 
 
 def test_pack_out_of_range():
-    coords = jnp.array([[600, 0, 0], [0, -513, 0], [511, 511, 511]], dtype=jnp.int32)
+    half = CFG.dir_dim // 2
+    coords = jnp.array([[half + 1, 0, 0], [0, -half - 1, 0],
+                        [half - 1, half - 1, half - 1]], dtype=jnp.int32)
     keys = np.asarray(vg.pack_key(coords, CFG))
     assert keys[0] == -1 and keys[1] == -1 and keys[2] >= 0
 
@@ -66,7 +69,7 @@ def test_insert_idempotent():
 
 
 def test_insert_overflow_flag():
-    small = GridConfig(num_blocks=4, table_size=64, max_probes=16)
+    small = GridConfig(num_blocks=4)
     grid = vg.create(small)
     coords = jnp.asarray(np.arange(24).reshape(8, 3), dtype=jnp.int32)
     keys = vg.pack_key(coords, small)
@@ -107,7 +110,7 @@ def test_insert_jit_compiles():
 def test_grow_preserves_data():
     import dataclasses
 
-    small = GridConfig(num_blocks=8, table_size=32, max_probes=16)
+    small = GridConfig(num_blocks=8)
     grid = vg.create(small)
     coords = jnp.asarray(np.arange(21).reshape(7, 3), dtype=jnp.int32)
     keys = vg.pack_key(coords, small)
