@@ -145,13 +145,17 @@ def _sample_frame(
     )
 
 
-def _apply_samples(grid: vg.VoxelGrid, s: FrameSamples, gcfg: GridConfig,
+def _apply_samples(grid: vg.VoxelGrid, s: FrameSamples, slot, gcfg: GridConfig,
                    accumulate_gradients: bool = True):
     """Scatter contributions into per-frame accumulators and merge.
 
+    Five separate 1-channel scatter-adds: a single [N, 5] multi-channel
+    scatter was measured SLOWER (415 vs 329 ms/frame) — the 5-wide minor
+    payload axis hits the same bad-layout path as all other small-minor-dim
+    shapes on TPU (PERF_NOTES.md).
+
     Returns (grid, touched_lin, ok) where touched_lin/ok feed the optional
     visibility update."""
-    slot = vg.lookup_keys(grid, s.keys, gcfg)
     ok = slot >= 0
     nvox = grid.num_blocks * grid.voxels_per_block
     lin = jnp.where(ok, slot * gcfg.voxels_per_block + s.local_lin, nvox)
@@ -207,11 +211,22 @@ def fuse_frame(
     normal_img = compute_normals(cache, depth)
     s = _sample_frame(depth, normal_img, cache, R, t, gcfg, fcfg)
 
-    # allocate blocks for this frame's samples (claim-based insert
-    # deduplicates natively — no sort/unique pass needed)
-    grid = vg.insert_keys(grid, s.keys, gcfg)
+    # block allocation: on steady-state frames (no unseen blocks) the whole
+    # claim/insert pass and its re-lookup are skipped — the initial lookup
+    # both answers "anything new?" and provides the scatter slots
+    slot0 = vg.lookup_keys(grid, s.keys, gcfg)
+    need = (s.keys >= 0) & (slot0 < 0)
 
-    grid, lin, ok = _apply_samples(grid, s, gcfg, accumulate_gradients)
+    def _with_insert(g):
+        g2 = vg.insert_new(g, s.keys, need, gcfg)
+        return g2, vg.lookup_keys(g2, s.keys, gcfg)
+
+    def _no_insert(g):
+        return g, slot0
+
+    grid, slot = jax.lax.cond(jnp.any(need), _with_insert, _no_insert, grid)
+
+    grid, lin, ok = _apply_samples(grid, s, slot, gcfg, accumulate_gradients)
 
     if vis is not None:
         nvox = grid.num_blocks * grid.voxels_per_block

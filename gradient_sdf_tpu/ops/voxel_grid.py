@@ -204,9 +204,9 @@ def lookup_voxels(grid: VoxelGrid, voxel_idx: jax.Array, cfg: GridConfig):
 # ---------------------------------------------------------------------------
 
 
-def insert_keys(grid: VoxelGrid, keys: jax.Array, cfg: GridConfig) -> VoxelGrid:
-    """Allocate blocks for the given directory indices (1-D; duplicates and
-    EMPTY_KEY padding allowed — no pre-deduplication needed).
+def insert_new(grid: VoxelGrid, keys: jax.Array, want: jax.Array,
+               cfg: GridConfig) -> VoxelGrid:
+    """Allocate blocks for keys where `want` is set (duplicates allowed).
 
     Deterministic parallel claim: every new key scatter-mins its candidate
     index into a claims array; per distinct key the lowest candidate wins
@@ -218,9 +218,6 @@ def insert_keys(grid: VoxelGrid, keys: jax.Array, cfg: GridConfig) -> VoxelGrid:
     d3 = cfg.dir_dim**3
     n = keys.shape[0]
     cand_ids = jnp.arange(n, dtype=jnp.int32)
-
-    existing = lookup_keys(grid, keys, cfg)
-    want = (keys >= 0) & (existing < 0)
 
     claims = jnp.full((d3,), INT32_MAX, dtype=jnp.int32)
     claims = claims.at[jnp.where(want, keys, d3)].min(
@@ -247,6 +244,14 @@ def insert_keys(grid: VoxelGrid, keys: jax.Array, cfg: GridConfig) -> VoxelGrid:
         overflow=overflow,
         block_coords=block_coords,
     )
+
+
+def insert_keys(grid: VoxelGrid, keys: jax.Array, cfg: GridConfig) -> VoxelGrid:
+    """Allocate blocks for the given directory indices (1-D; duplicates and
+    EMPTY_KEY padding allowed — no pre-deduplication needed)."""
+    existing = lookup_keys(grid, keys, cfg)
+    want = (keys >= 0) & (existing < 0)
+    return insert_new(grid, keys, want, cfg)
 
 
 def ensure_blocks(grid: VoxelGrid, voxel_idx: jax.Array, valid: jax.Array,
