@@ -196,7 +196,7 @@ def fuse_frame(
     *,
     vis: Optional[jax.Array] = None,
     kf_slot: Optional[jax.Array] = None,
-    max_unique_blocks: int = 8192,
+    max_unique_blocks: int = 0,  # deprecated (claim insert); ignored
     accumulate_gradients: bool = True,
 ):
     """Integrate one depth frame under pose (R, t) (camera-to-world).

@@ -64,8 +64,13 @@ def raycast(
 
     s0 = jnp.full(origins.shape[:-1], s_min, jnp.float32)
 
-    def body(_, carry):
-        s, s_prev, hit_lo, hit_hi, found = carry
+    def cond(carry):
+        k, s, s_prev, hit_lo, hit_hi, found = carry
+        alive = ~found & (s <= s_max)
+        return (k < max_steps) & jnp.any(alive)
+
+    def body(carry):
+        k, s, s_prev, hit_lo, hit_hi, found = carry
         pts = origins + s[..., None] * dirs
         phi, present = _phi_at(grid, pts, gcfg, fcfg)
         crossed = present & (phi >= 0.0) & ~found
@@ -76,10 +81,10 @@ def raycast(
         # free space has phi < 0: -phi estimates distance to the surface
         step = jnp.where(present, jnp.clip(-phi, step_min, T), T)
         s_new = jnp.where(found | (s > s_max), s, s + step)
-        return s_new, s, hit_lo, hit_hi, found
+        return k + 1, s_new, s, hit_lo, hit_hi, found
 
-    init = (s0, s0, s0, s0, jnp.zeros(s0.shape, bool))
-    s, _, lo, hi, found = jax.lax.fori_loop(0, max_steps, body, init)
+    init = (jnp.int32(0), s0, s0, s0, s0, jnp.zeros(s0.shape, bool))
+    _, s, _, lo, hi, found = jax.lax.while_loop(cond, body, init)
 
     def bisect(_, carry):
         lo, hi = carry
