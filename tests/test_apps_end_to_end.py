@@ -97,3 +97,22 @@ def test_scan3d_tracking_mode(synth_dir, tmp_path):
     # frame-to-frame camera motion in this orbit is ~14 cm; tracked relative
     # translation must be much closer than "no tracking at all"
     assert np.linalg.norm(tr_est - tr_gt) < 0.2 * max(np.linalg.norm(tr_gt), 1e-9) + 0.02
+
+
+def test_scan3d_base_sdf_ablation(synth_dir, tmp_path):
+    """--scan-type base-sdf: trilinear TSDF baseline end-to-end."""
+    results = str(tmp_path / "out_base")
+    args = scan3d.build_parser().parse_args([
+        "--input", synth_dir, "--results", results,
+        "--pose-file", "gt_poses.txt", "--scan-type", "base-sdf",
+        "--data-type", "synth", "--voxel-size", "0.02", "--trunc", "5",
+        "--last", "3", "--save-sdf",
+    ])
+    metrics = scan3d.run_scan(args)
+    assert metrics["frames"] == 4
+    assert metrics["num_blocks_active"] > 0
+    mesh = load_ply(os.path.join(results, "gradient_sdf_mesh_final.ply"))
+    assert len(mesh["vertex"]) > 50
+    # base-sdf dump has dist/weight but no gradient files
+    assert os.path.isfile(os.path.join(results, "gradient_sdf_sdf_d.txt"))
+    assert not os.path.isfile(os.path.join(results, "gradient_sdf_sdf_n0.txt"))

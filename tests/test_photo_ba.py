@@ -125,3 +125,13 @@ def test_write_back_dist_roundtrip():
     lin, present = vg.lookup_voxels(grid, problem.vox, GCFG)
     got = np.asarray(vg.flat_field(grid.dist)[lin])
     np.testing.assert_allclose(got, np.arange(V) * 1e-3, atol=1e-7)
+
+
+def test_coupled_pose_solver_decreases_energy():
+    """solvePoseFull (6Fx6F coupled system) also reduces energy."""
+    problem, state, _ = _make_plane_problem(F=3, seed=5, pose_noise=0.004)
+    e0 = float(photo_ba.energy(problem, state, GCFG))
+    state2 = photo_ba.solve_pose_full(problem, state, GCFG, PCFG)
+    e1 = float(photo_ba.energy(problem, state2, GCFG))
+    assert np.isfinite(e1)
+    assert e1 < e0
