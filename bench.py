@@ -88,6 +88,7 @@ def main():
         lambda g, d, R, t: fusion.fuse_frame(g, d, cache, R, t, gcfg, fcfg)
     )
 
+    t_start = time.time()
     try:
         log("compiling renderer + fusion...")
         t0 = time.time()
@@ -133,6 +134,11 @@ def main():
     except Exception as e:  # pragma: no cover
         result["track_error"] = repr(e)[:200]
 
+    elapsed = time.time() - t_start
+    if elapsed > 1500:
+        result["raycast_skipped"] = f"time budget ({elapsed:.0f}s elapsed)"
+        print(json.dumps(result))
+        return
     try:
         log("compiling raycaster...")
         rc_jit = jax.jit(
