@@ -46,6 +46,11 @@ def _phi_at(grid, pts, gcfg, fcfg):
     return phi, present
 
 
+def _dist_at(grid, pts, gcfg):
+    # lite march query: voxel dist shares phi's sign; no gradient gather
+    return query.tsdf_lite(grid, pts, gcfg)
+
+
 def raycast(
     grid: vg.VoxelGrid,
     origins: jax.Array,     # [N, 3] ray origins (world)
@@ -72,7 +77,7 @@ def raycast(
     def body(carry):
         k, s, s_prev, hit_lo, hit_hi, found = carry
         pts = origins + s[..., None] * dirs
-        phi, present = _phi_at(grid, pts, gcfg, fcfg)
+        phi, present = _dist_at(grid, pts, gcfg)
         crossed = present & (phi >= 0.0) & ~found
         # bracket: [s_prev, s] contains the crossing
         hit_lo = jnp.where(crossed, s_prev, hit_lo)
