@@ -161,6 +161,9 @@ def _apply_samples(grid: vg.VoxelGrid, s: FrameSamples, slot, gcfg: GridConfig,
     lin = jnp.where(ok, slot * gcfg.voxels_per_block + s.local_lin, nvox)
 
     shape = grid.dist.shape
+    # five separate f32 scatter-adds: an [N, 5] multi-channel payload and
+    # complex64 pairing were both measured/observed worse (slow layout path
+    # resp. pathological compile) — see PERF_NOTES.md
     w_acc = jnp.zeros((nvox,), jnp.float32).at[lin].add(s.w, mode="drop")
     wd_acc = jnp.zeros((nvox,), jnp.float32).at[lin].add(s.wd, mode="drop")
     w_acc = w_acc.reshape(shape)
@@ -176,12 +179,12 @@ def _apply_samples(grid: vg.VoxelGrid, s: FrameSamples, slot, gcfg: GridConfig,
         gx = jnp.zeros((nvox,), jnp.float32).at[lin].add(s.wn_x, mode="drop")
         gy = jnp.zeros((nvox,), jnp.float32).at[lin].add(s.wn_y, mode="drop")
         gz = jnp.zeros((nvox,), jnp.float32).at[lin].add(s.wn_z, mode="drop")
-        new_grad = grid.grad + jnp.stack(
-            [gx.reshape(shape), gy.reshape(shape), gz.reshape(shape)], axis=-1
+        grid = grid._replace(
+            grad_x=grid.grad_x + gx.reshape(shape),
+            grad_y=grid.grad_y + gy.reshape(shape),
+            grad_z=grid.grad_z + gz.reshape(shape),
         )
-    else:
-        new_grad = grid.grad
-    grid = grid._replace(dist=new_dist, weight=new_weight, grad=new_grad)
+    grid = grid._replace(dist=new_dist, weight=new_weight)
     return grid, lin, ok
 
 

@@ -40,22 +40,25 @@ def tsdf_grad(grid: vg.VoxelGrid, points: jax.Array, gcfg: GridConfig,
 
     dist = vg.flat_field(grid.dist)[lin]
     weight = vg.flat_field(grid.weight)[lin]
-    graw = vg.flat_field(grid.grad)[lin]
+    # component gathers (a single [., 3] gather hits the 3-wide-minor-axis
+    # slow path on TPU)
+    gx = vg.flat_field(grid.grad_x)[lin]
+    gy = vg.flat_field(grid.grad_y)[lin]
+    gz = vg.flat_field(grid.grad_z)[lin]
     # block allocation granularity is 8^3: a voxel "exists" (reference: has a
     # hash entry, MapGradPixelSdf.h:117-125) only if it was ever observed
     present = present & (weight > 0.0)
 
-    gnorm = jnp.linalg.norm(graw, axis=-1, keepdims=True)
-    ghat = graw / jnp.maximum(gnorm, 1e-12)
+    inv_norm = 1.0 / jnp.maximum(jnp.sqrt(gx * gx + gy * gy + gz * gz), 1e-12)
     scale = fcfg.grad_scale
-    centers = vg.voxel_to_point(vi, vs)
-    phi = dist + scale * jnp.sum(ghat * (centers - points), axis=-1)
-    grad = scale * ghat
+    s = scale * inv_norm
+    cmp = vi.astype(jnp.float32) * vs - points  # voxel_center - point
+    phi = dist + s * (gx * cmp[..., 0] + gy * cmp[..., 1] + gz * cmp[..., 2])
+    grad = jnp.stack([s * gx, s * gy, s * gz], axis=-1)
 
-    present_f = present
-    phi = jnp.where(present_f, phi, 0.0)
-    grad = jnp.where(present_f[..., None], grad, 0.0)
-    weight = jnp.where(present_f, weight, 0.0)
+    phi = jnp.where(present, phi, 0.0)
+    grad = jnp.where(present[..., None], grad, 0.0)
+    weight = jnp.where(present, weight, 0.0)
     return phi, grad, weight
 
 

@@ -63,11 +63,15 @@ class VoxelGrid(NamedTuple):
     directory: jax.Array    # int32 [dir_dim^3]
     num_active: jax.Array   # int32 [], allocated block count
     overflow: jax.Array     # bool [], sticky capacity-overflow flag
-    # block store (SoA), voxel-linearized x-fastest within each block
+    # block store (SoA), voxel-linearized x-fastest within each block.
+    # gradient components are separate scalar fields: a [.., 3] array forces
+    # 3-wide-minor-axis gathers in the hot queries (PERF_NOTES.md)
     block_coords: jax.Array  # int32 [num_blocks, 3]
     dist: jax.Array          # f32 [num_blocks, B^3]
     weight: jax.Array        # f32 [num_blocks, B^3]
-    grad: jax.Array          # f32 [num_blocks, B^3, 3]
+    grad_x: jax.Array        # f32 [num_blocks, B^3]
+    grad_y: jax.Array
+    grad_z: jax.Array
 
     @property
     def num_blocks(self) -> int:
@@ -76,6 +80,12 @@ class VoxelGrid(NamedTuple):
     @property
     def voxels_per_block(self) -> int:
         return self.dist.shape[1]
+
+    @property
+    def grad(self) -> jax.Array:
+        """Stacked [num_blocks, B^3, 3] view for host-side consumers.
+        Hot jitted code must use the component fields directly."""
+        return jnp.stack([self.grad_x, self.grad_y, self.grad_z], axis=-1)
 
 
 def create(cfg: GridConfig) -> VoxelGrid:
@@ -88,7 +98,9 @@ def create(cfg: GridConfig) -> VoxelGrid:
         block_coords=jnp.zeros((nb, 3), dtype=jnp.int32),
         dist=jnp.zeros((nb, vpb), dtype=jnp.float32),
         weight=jnp.zeros((nb, vpb), dtype=jnp.float32),
-        grad=jnp.zeros((nb, vpb, 3), dtype=jnp.float32),
+        grad_x=jnp.zeros((nb, vpb), dtype=jnp.float32),
+        grad_y=jnp.zeros((nb, vpb), dtype=jnp.float32),
+        grad_z=jnp.zeros((nb, vpb), dtype=jnp.float32),
     )
 
 
@@ -296,7 +308,9 @@ def grow(grid: VoxelGrid, cfg: GridConfig, factor: int = 2):
         block_coords=ext(grid.block_coords),
         dist=ext(grid.dist),
         weight=ext(grid.weight),
-        grad=ext(grid.grad),
+        grad_x=ext(grid.grad_x),
+        grad_y=ext(grid.grad_y),
+        grad_z=ext(grid.grad_z),
         overflow=jnp.zeros((), bool),
     )
     return big, new_cfg

@@ -39,7 +39,8 @@ from .mesh import BLOCK_AXIS, RAY_AXIS
 def _grid_spec_replicated():
     return vg.VoxelGrid(
         directory=P(), num_active=P(), overflow=P(),
-        block_coords=P(), dist=P(), weight=P(), grad=P(),
+        block_coords=P(), dist=P(), weight=P(),
+        grad_x=P(), grad_y=P(), grad_z=P(),
     )
 
 
@@ -169,5 +170,9 @@ def sharded_fuse_frame(mesh, grid, depth, cache, R, t, gcfg, fcfg,
         (grid.dist * grid.weight + wd_acc) / jnp.maximum(new_weight, 1e-30),
         grid.dist,
     )
-    new_grad = grid.grad + wn_acc
-    return grid._replace(dist=new_dist, weight=new_weight, grad=new_grad)
+    return grid._replace(
+        dist=new_dist, weight=new_weight,
+        grad_x=grid.grad_x + wn_acc[..., 0],
+        grad_y=grid.grad_y + wn_acc[..., 1],
+        grad_z=grid.grad_z + wn_acc[..., 2],
+    )

@@ -35,7 +35,9 @@ def save_state(path: str, grid: vg.VoxelGrid, *, vis=None, counter: int = 0,
         "block_coords": np.asarray(grid.block_coords),
         "dist": np.asarray(grid.dist),
         "weight": np.asarray(grid.weight),
-        "grad": np.asarray(grid.grad),
+        "grad_x": np.asarray(grid.grad_x),
+        "grad_y": np.asarray(grid.grad_y),
+        "grad_z": np.asarray(grid.grad_z),
     }
     if vis is not None:
         data["vis"] = np.asarray(vis)
@@ -62,7 +64,9 @@ def load_state(path: str):
         block_coords=jnp.asarray(z["block_coords"]),
         dist=jnp.asarray(z["dist"]),
         weight=jnp.asarray(z["weight"]),
-        grad=jnp.asarray(z["grad"]),
+        grad_x=jnp.asarray(z["grad_x"]),
+        grad_y=jnp.asarray(z["grad_y"]),
+        grad_z=jnp.asarray(z["grad_z"]),
     )
     vis = jnp.asarray(z["vis"]) if "vis" in z else None
     poses = []

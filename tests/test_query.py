@@ -24,10 +24,13 @@ def _grid_with(vox, dist, weight, grad=None):
     w[lin] = weight
     if grad is not None:
         g[lin] = grad
+    g = g.reshape(grid.grad_x.shape + (3,))
     return grid._replace(
         dist=jnp.asarray(d).reshape(grid.dist.shape),
         weight=jnp.asarray(w).reshape(grid.weight.shape),
-        grad=jnp.asarray(g).reshape(grid.grad.shape),
+        grad_x=jnp.asarray(g[..., 0]),
+        grad_y=jnp.asarray(g[..., 1]),
+        grad_z=jnp.asarray(g[..., 2]),
     )
 
 
