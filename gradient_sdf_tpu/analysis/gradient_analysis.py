@@ -16,8 +16,6 @@ also makes it the C++-parity harness for SDF dumps.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 

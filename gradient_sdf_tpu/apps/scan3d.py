@@ -29,7 +29,7 @@ from ..data import loaders
 from ..models.grad_sdf import GradSdfMap
 from ..models.pixel_sdf import PixelSdfMap
 from ..models import tracker as tracker_mod
-from ..utils import se3, tumio
+from ..utils import tumio
 from ..utils.timer import Timer
 
 

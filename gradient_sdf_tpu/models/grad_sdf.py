@@ -10,7 +10,6 @@ shells over jitted ops so a full track+fuse frame stays on-device.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

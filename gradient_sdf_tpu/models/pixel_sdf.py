@@ -21,7 +21,6 @@ import numpy as np
 from ..config import PipelineConfig
 from ..ops import fusion, normals, query
 from ..ops import voxel_grid as vg
-from ..utils.ply import save_point_cloud_ply
 
 
 class PixelSdfMap:

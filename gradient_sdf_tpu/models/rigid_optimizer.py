@@ -15,7 +15,7 @@ import dataclasses
 
 import jax.numpy as jnp
 
-from ..config import FusionConfig, GridConfig, TrackerConfig
+from ..config import TrackerConfig
 from . import tracker as tracker_mod
 
 

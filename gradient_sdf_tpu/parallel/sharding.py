@@ -21,14 +21,11 @@ Parallelization of the two hot loops (SURVEY.md §3.1):
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
-from ..config import FusionConfig, GridConfig, TrackerConfig
 from ..models import tracker as tracker_mod
 from ..ops import fusion as fusion_mod
 from ..ops import voxel_grid as vg
