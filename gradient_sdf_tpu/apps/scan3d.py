@@ -59,6 +59,8 @@ def build_parser():
                    default=0, help="write a state checkpoint every N frames")
     p.add_argument("--resume", default=None,
                    help="resume reconstruction from a state checkpoint")
+    p.add_argument("--profile", default=None,
+                   help="write a jax.profiler trace of one frame to this dir")
     return p
 
 
@@ -126,9 +128,16 @@ def run_scan(args) -> dict:
     ckpt_path = os.path.join(args.results, "checkpoint.npz")
 
     n_frames = 0
+    profiled = False
     for frame in loader.frames(first, last):
         i = frame.index
         print(f"Working on frame: {i}")
+        if args.profile and n_frames == 2 and not profiled:
+            # third frame: compiles are done, steady-state behavior
+            import jax
+
+            jax.profiler.start_trace(args.profile)
+            profiled = True
         T.tic()
         depth = jnp.asarray(frame.depth)
         T.toc("Load data")
@@ -168,6 +177,10 @@ def run_scan(args) -> dict:
             (frame.timestamp, np.asarray(R_cur), np.asarray(t_cur))
         )
         n_frames += 1
+        if profiled and n_frames == 3:
+            import jax
+
+            jax.profiler.stop_trace()
 
         if args.checkpoint_every and (sdf_map.counter % args.checkpoint_every == 0):
             from ..utils import checkpoint as ckpt
