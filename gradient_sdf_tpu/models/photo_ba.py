@@ -355,8 +355,10 @@ class PhotometricOptimizer:
             self.energies.append(E)
             if self.verbose:
                 print(f"Energy after {it} iterations of coarse BA (dist): {E}")
-            prev = self.energies[-3]
-            rel_diff = abs(self.energies[-3] - E) / max(prev, 1e-30)
+            # reference (:649): rel_diff = |E_pose - E_dist| / E_pose, where
+            # E_pose is the energy after this iteration's pose step
+            prev = self.energies[-2]
+            rel_diff = abs(prev - E) / max(prev, 1e-30)
             if rel_diff < self.pcfg.conv_threshold:
                 if self.verbose:
                     print(f"converged after {it} iterations")

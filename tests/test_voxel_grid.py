@@ -131,3 +131,32 @@ def test_grow_preserves_data():
     np.testing.assert_allclose(got, np.arange(7) + 1.0)
     # coords recorded
     np.testing.assert_array_equal(np.asarray(big.block_coords)[new_slots], coords)
+
+
+def test_auto_growth_during_fusion():
+    """GradSdfMap grows its grid when a frame overflows block capacity."""
+    import dataclasses
+    from gradient_sdf_tpu.config import PipelineConfig, GridConfig
+    from gradient_sdf_tpu.models.grad_sdf import GradSdfMap
+    from gradient_sdf_tpu.data import synth
+
+    cfg = PipelineConfig(grid=GridConfig(voxel_size=0.02, num_blocks=16))
+    W, H = 64, 48
+    K = np.array([[52.5, 0, 31.5], [0, 52.5, 23.5], [0, 0, 1]], np.float32)
+    world = synth.SphereWorld(
+        centers=jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32),
+        radii=jnp.asarray([0.3], jnp.float32),
+    )
+    poses = synth.orbit_poses(n=8, radius=1.2)
+    m = GradSdfMap(cfg)
+    for i in range(3):
+        R, t = poses[i]
+        depth = synth.render_depth(world, jnp.asarray(R), jnp.asarray(t), K, W, H)
+        m.update(depth, K, (jnp.asarray(R), jnp.asarray(t)))
+    # grid must have grown beyond the original capacity and be overflow-free
+    assert m.cfg.grid.num_blocks > 16
+    assert not bool(m.grid.overflow)
+    assert int(m.grid.num_active) > 16
+    # data still sane: weights accumulated, queries work
+    phi, grad = m.tsdf(np.array([[0.3, 0.0, 0.0]], np.float32))
+    assert np.isfinite(float(phi[0]))
