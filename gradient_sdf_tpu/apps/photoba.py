@@ -118,7 +118,7 @@ def run_photoba(args) -> dict:
                 is_kf = (
                     sharpness.sharp_detector(frame.color, sharp_thr)
                     or dist_to_last_kf > cfg.photo_ba.keyframe_gap
-                )
+                ) and len(keyframes) < cfg.photo_ba.max_recorded_keyframes
                 slot = len(keyframes) if is_kf else -1
                 T.tic()
                 sdf_map.update(depth, K, (R_cur, t_cur), kf_slot=slot)

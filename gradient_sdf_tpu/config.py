@@ -78,6 +78,10 @@ class PhotoBAConfig:
     # only "trunc_l2" changes solver behavior (intensity gate, cpp:364-365);
     # every other value — including the default — acts as plain L2.
     max_keyframes: int = 30           # --key-frame default (main_photo_ba.cpp:79)
+    max_recorded_keyframes: int = 128  # visibility-bitfield slot capacity;
+    # the reference records per-frame visibility unboundedly (vis_,
+    # MapGradPixelSdf.h:70) — we record only keyframes, capped here
+    # (4 uint32 words/voxel); selection stops once the cap is reached
     keyframe_gap: int = 5             # dist_to_last_keyframe > 5 (main_photo_ba.cpp:246)
     sharpness_threshold: float = 0.026  # tum/printed; redwood: 0.033 (main_photo_ba.cpp:109-120)
 

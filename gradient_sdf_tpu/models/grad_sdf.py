@@ -28,7 +28,7 @@ class GradSdfMap:
         self.grid = vg.create(cfg.grid)
         self.counter = 0
         self.cache: Optional[normals.NormalEstimatorCache] = None
-        kf_words = max(1, cfg.photo_ba.max_keyframes * 2 // 32 + 1)
+        kf_words = max(1, -(-cfg.photo_ba.max_recorded_keyframes // 32))
         self.vis = (
             jnp.zeros(
                 (cfg.grid.num_blocks, cfg.grid.voxels_per_block, kf_words),
