@@ -52,7 +52,6 @@ class FusionConfig:
     view_angle_cos_sq: float = 0.25   # reject (n.h)^2/||h||^2 < .25 (MapGradPixelSdf.cpp:98)
     grad_scale: float = 1.2           # projective-SDF correction heuristic (MapGradPixelSdf.h:111-114)
     normal_window: int = 11           # FALS window (main_scan_3d.cpp:183: 2*5+1)
-    max_frames: int = 1024            # visibility bitmask capacity (vis_, MapGradPixelSdf.h:70)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -48,7 +48,8 @@ def _phi_at(grid, pts, gcfg, fcfg):
 
 def _dist_at(grid, pts, gcfg):
     # lite march query: voxel dist shares phi's sign; no gradient gather
-    return query.tsdf_lite(grid, pts, gcfg)
+    d, present, block_present = query.tsdf_lite(grid, pts, gcfg)
+    return d, present, block_present
 
 
 def raycast(
@@ -74,17 +75,37 @@ def raycast(
         alive = ~found & (s <= s_max)
         return (k < max_steps) & jnp.any(alive)
 
+    bs_m = gcfg.block_shape * gcfg.voxel_size
+
     def body(carry):
         k, s, s_prev, hit_lo, hit_hi, found = carry
         pts = origins + s[..., None] * dirs
-        phi, present = _dist_at(grid, pts, gcfg)
+        phi, present, block_present = _dist_at(grid, pts, gcfg)
         crossed = present & (phi >= 0.0) & ~found
         # bracket: [s_prev, s] contains the crossing
         hit_lo = jnp.where(crossed, s_prev, hit_lo)
         hit_hi = jnp.where(crossed, s, hit_hi)
         found = found | crossed
-        # free space has phi < 0: -phi estimates distance to the surface
-        step = jnp.where(present, jnp.clip(-phi, step_min, T), T)
+        # step policy:
+        #  * observed voxel: sphere-trace with -phi (free space is negative)
+        #  * allocated block, unobserved voxel: cautious T step (band may
+        #    start one voxel ahead behind a shadow boundary)
+        #  * unallocated block: exact DDA step to the next block boundary —
+        #    absent blocks cannot contain the truncation band
+        dda = jnp.full(s.shape, jnp.inf, jnp.float32)
+        for ax in range(3):
+            p = pts[..., ax]
+            d = dirs[..., ax]
+            b = jnp.floor(p / bs_m)
+            bound = jnp.where(d > 0, (b + 1.0) * bs_m, b * bs_m)
+            t_ax = jnp.where(jnp.abs(d) > 1e-12, (bound - p) / d, jnp.inf)
+            dda = jnp.minimum(dda, jnp.where(t_ax > 0, t_ax, jnp.inf))
+        dda = jnp.maximum(dda + 0.5 * step_min, step_min)
+        step = jnp.where(
+            present,
+            jnp.clip(-phi, step_min, T),
+            jnp.where(block_present, T, dda),
+        )
         s_new = jnp.where(found | (s > s_max), s, s + step)
         return k + 1, s_new, s, hit_lo, hit_hi, found
 
