@@ -49,6 +49,9 @@ def build_parser():
                    help="maximum number of keyframes used in BA")
     p.add_argument("--coupled-poses", action="store_true",
                    help="use the full 6Fx6F pose system (solvePoseFull)")
+    p.add_argument("--sharded-ba", action="store_true",
+                   help="shard BA over the surface-voxel axis across all "
+                        "local devices (psum'd pose systems)")
     p.add_argument("--metrics-json", default=None)
     return p
 
@@ -157,9 +160,14 @@ def run_photoba(args) -> dict:
     problem, state = photo_ba.build_problem(
         sdf_map.grid, sdf_map.vis, slots, images, poses, K, cfg.grid
     )
+    mesh = None
+    if args.sharded_ba:
+        from ..parallel import mesh as mesh_mod
+
+        mesh = mesh_mod.make_mesh()
     opt = photo_ba.PhotometricOptimizer(
         problem, state, cfg.grid, cfg.photo_ba,
-        coupled_poses=args.coupled_poses,
+        coupled_poses=args.coupled_poses, mesh=mesh,
     )
     T.tic()
     converged = opt.optimize()

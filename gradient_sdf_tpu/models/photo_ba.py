@@ -168,10 +168,10 @@ def energy(problem: BAProblem, state: BAState, gcfg: GridConfig) -> jax.Array:
         return (n + w[:, 0], sA + w * A, sAA + w * jnp.sum(A * A, axis=-1,
                                                            keepdims=True))
 
-    V = x.shape[0]
-    z = jnp.zeros((V,), jnp.float32)
+    z = jnp.zeros_like(problem.weight)
     n, sA, sAA = _scan_frames(
-        problem, state, accum, (z, jnp.zeros((V, 3)), jnp.zeros((V, 1)))
+        problem, state, accum,
+        (z, jnp.zeros_like(problem.grad), z[:, None]),
     )
     n_safe = jnp.maximum(n, 1.0)
     e_per_vox = sAA[:, 0] - jnp.sum(sA * sA, axis=-1) / n_safe
@@ -204,12 +204,12 @@ def solve_dist(problem: BAProblem, state: BAState, gcfg: GridConfig,
         ), None
 
     V = x.shape[0]
-    z3 = jnp.zeros((V, 3))
+    z3 = jnp.zeros_like(problem.grad)
     F = problem.images.shape[0]
     xs = (state.R, state.t, problem.images,
           jnp.moveaxis(problem.vis, 1, 0), jnp.arange(F))
     (n, sA, sJ, sAJ, sJJ), _ = jax.lax.scan(
-        accum, (jnp.zeros((V,)), z3, z3, z3, z3), xs
+        accum, (jnp.zeros_like(problem.weight), z3, z3, z3, z3), xs
     )
     inv_n = 1.0 / jnp.maximum(n, 1.0)
     H = jnp.sum(sJJ, axis=-1) - inv_n * jnp.sum(sJ * sJ, axis=-1)
@@ -251,7 +251,8 @@ def _pose_terms(problem: BAProblem, state: BAState, gcfg, pcfg):
     F = problem.images.shape[0]
     xs = (state.R, state.t, problem.images,
           jnp.moveaxis(problem.vis, 1, 0), jnp.arange(F))
-    (n, sA), _ = jax.lax.scan(accum, (jnp.zeros((V,)), jnp.zeros((V, 3))), xs)
+    zv = jnp.zeros_like(problem.weight)
+    (n, sA), _ = jax.lax.scan(accum, (zv, jnp.zeros_like(problem.grad)), xs)
     inv_n = 1.0 / jnp.maximum(n, 1.0)
     mean_A = sA * inv_n[:, None]
     return frame_AJ, n, inv_n, mean_A, xs
@@ -325,13 +326,14 @@ class PhotometricOptimizer:
 
     def __init__(self, problem: BAProblem, state: BAState, gcfg: GridConfig,
                  pcfg: PhotoBAConfig, *, coupled_poses: bool = False,
-                 verbose: bool = True):
+                 verbose: bool = True, mesh=None):
         self.problem = problem
         self.state = state
         self.gcfg = gcfg
         self.pcfg = pcfg
         self.energies: list = []
         self.verbose = verbose
+        self.mesh = mesh  # device mesh -> voxel-sharded GN steps
         pose_fn = solve_pose_full if coupled_poses else solve_pose
         self._solve_pose = jax.jit(
             lambda p, s: pose_fn(p, s, gcfg, pcfg)
@@ -339,19 +341,31 @@ class PhotometricOptimizer:
         self._solve_dist = jax.jit(lambda p, s: solve_dist(p, s, gcfg, pcfg))
         self._energy = jax.jit(lambda p, s: energy(p, s, gcfg))
 
+    def _iteration(self):
+        """One pose+dist step; returns (E_after_pose, E_after_dist)."""
+        if self.mesh is not None:
+            from ..parallel import sharding
+
+            self.state, e_pose, e_dist = sharding.sharded_ba_step(
+                self.mesh, self.problem, self.state, self.gcfg, self.pcfg
+            )
+            return float(e_pose), float(e_dist)
+        self.state = self._solve_pose(self.problem, self.state)
+        e_pose = float(self._energy(self.problem, self.state))
+        self.state = self._solve_dist(self.problem, self.state)
+        e_dist = float(self._energy(self.problem, self.state))
+        return e_pose, e_dist
+
     def optimize(self) -> bool:
         E = float(self._energy(self.problem, self.state))
         self.energies.append(E)
         if self.verbose:
             print(f"Energy before BA: {E}")
         for it in range(self.pcfg.max_iterations):
-            self.state = self._solve_pose(self.problem, self.state)
-            E = float(self._energy(self.problem, self.state))
-            self.energies.append(E)
+            e_pose, E = self._iteration()
+            self.energies.append(e_pose)
             if self.verbose:
-                print(f"Energy after {it} iterations of coarse BA (pose): {E}")
-            self.state = self._solve_dist(self.problem, self.state)
-            E = float(self._energy(self.problem, self.state))
+                print(f"Energy after {it} iterations of coarse BA (pose): {e_pose}")
             self.energies.append(E)
             if self.verbose:
                 print(f"Energy after {it} iterations of coarse BA (dist): {E}")

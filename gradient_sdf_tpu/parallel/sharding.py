@@ -173,3 +173,78 @@ def sharded_fuse_frame(mesh, grid, depth, cache, R, t, gcfg, fcfg,
         grad_y=grid.grad_y + wn_acc[..., 1],
         grad_z=grid.grad_z + wn_acc[..., 2],
     )
+
+
+# ---------------------------------------------------------------------------
+# sharded photometric bundle adjustment
+# ---------------------------------------------------------------------------
+
+
+def _ba_problem_spec(vspec):
+    """PartitionSpec pytree for BAProblem with voxel arrays on `vspec`."""
+    from ..models import photo_ba as pba
+
+    return pba.BAProblem(
+        vox=vspec, grad=vspec, weight=vspec, vmask=vspec, vis=vspec,
+        images=P(), K=P(),
+    )
+
+
+def _ba_state_spec(vspec):
+    from ..models import photo_ba as pba
+
+    return pba.BAState(dist=vspec, R=P(), t=P())
+
+
+def sharded_ba_step(mesh, problem, state, gcfg, pcfg):
+    """One PhotoBA iteration (pose step + dist step) with the surface-voxel
+    axis sharded across the mesh — the "sharded Gauss-Newton" of the north
+    star: per-frame 6x6 pose systems are psum-reduced over voxel shards,
+    the per-voxel scalar dist solves are embarrassingly parallel, and poses
+    stay replicated.
+
+    Requires problem.vox.shape[0] divisible by the mesh size (build_problem
+    pads to a multiple of 1024, so pad `pad_to` accordingly).
+    """
+    from ..models import photo_ba as pba
+
+    axes = (RAY_AXIS, BLOCK_AXIS)
+    vspec = P(axes)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(_ba_problem_spec(vspec), _ba_state_spec(vspec)),
+        out_specs=(_ba_state_spec(vspec), P(), P()),
+    )
+    def step(problem, state):
+        # pose step: per-voxel terms (counts, means over frames) are local
+        # to each voxel shard; only the per-frame (H, b) need the psum
+        frame_AJ, n, inv_n, mean_A, xs = pba._pose_terms(
+            problem, state, gcfg, pcfg
+        )
+
+        def per_frame(carry, xsi):
+            Ri, ti, img, vis_i, _ = xsi
+            A, Jc, valid = frame_AJ(Ri, ti, img, vis_i)
+            w = (valid & (n > 0)).astype(jnp.float32)
+            r = A - mean_A
+            b = jax.lax.psum(jnp.einsum("v,vc,vce->e", w, r, Jc), axes)
+            H = jax.lax.psum(
+                jnp.einsum("v,vce,vcf->ef", w * (1.0 - inv_n), Jc, Jc), axes
+            )
+            return carry, (H, b)
+
+        _, (H, b) = jax.lax.scan(per_frame, None, xs)
+        delta = jax.vmap(
+            lambda Hi, bi: jnp.linalg.solve(Hi + 1e-12 * jnp.eye(6), bi)
+        )(H, b)
+        state = pba._apply_pose_delta(state, delta)
+
+        e_pose = jax.lax.psum(pba.energy(problem, state, gcfg), axes)
+        # dist step: per-voxel scalar solves, fully local to each shard
+        state = pba.solve_dist(problem, state, gcfg, pcfg)
+        e_dist = jax.lax.psum(pba.energy(problem, state, gcfg), axes)
+        return state, e_pose, e_dist
+
+    return step(problem, state)

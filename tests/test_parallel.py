@@ -79,3 +79,45 @@ def test_sharded_tracking_matches_single_device(scene):
     )
     np.testing.assert_allclose(np.asarray(Rp), np.asarray(res.R), atol=2e-5)
     np.testing.assert_allclose(np.asarray(tp), np.asarray(res.t), atol=2e-5)
+
+
+def test_sharded_photoba_step_matches_single_device():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_photo_ba import _make_plane_problem, GCFG as BA_GCFG, PCFG
+
+    from gradient_sdf_tpu.models import photo_ba
+
+    problem, state, _ = _make_plane_problem(F=3, seed=7, pose_noise=0.004)
+    # pad voxel axis to a multiple of 8 for the mesh
+    V = problem.vox.shape[0]
+    pad = (-V) % 8
+    if pad:
+        import numpy as _np
+
+        def padv(a, fill=0):
+            w = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+            return jnp.asarray(_np.pad(_np.asarray(a), w, constant_values=fill))
+
+        problem = photo_ba.BAProblem(
+            vox=padv(problem.vox), grad=padv(problem.grad),
+            weight=padv(problem.weight), vmask=padv(problem.vmask),
+            vis=padv(problem.vis), images=problem.images, K=problem.K,
+        )
+        state = state._replace(dist=padv(state.dist))
+
+    # single-device reference: one pose step + one dist step
+    ref = photo_ba.solve_pose(problem, state, BA_GCFG, PCFG)
+    ref = photo_ba.solve_dist(problem, ref, BA_GCFG, PCFG)
+    e_ref = float(photo_ba.energy(problem, ref, BA_GCFG))
+
+    mesh = mesh_mod.make_mesh(8, block_parallel=2)
+    out_state, e_pose, e_par = sharding.sharded_ba_step(
+        mesh, problem, state, BA_GCFG, PCFG)
+    np.testing.assert_allclose(np.asarray(out_state.R), np.asarray(ref.R),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_state.t), np.asarray(ref.t),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_state.dist),
+                               np.asarray(ref.dist), atol=2e-5)
+    assert abs(float(e_par) - e_ref) < 1e-3 * max(e_ref, 1.0)
