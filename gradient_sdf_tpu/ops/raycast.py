@@ -76,35 +76,50 @@ def raycast(
         return (k < max_steps) & jnp.any(alive)
 
     bs_m = gcfg.block_shape * gcfg.voxel_size
+    coarse_m = bs_m * vg.COARSE_FACTOR
+
+    half_vox = 0.5 * gcfg.voxel_size
+
+    def _dda(pts, cell):
+        # distance along the ray to the next cell boundary of size `cell`.
+        # voxel i spans [i*vs - vs/2, i*vs + vs/2), so cell boundaries sit at
+        # k*cell - vs/2: work in coordinates shifted by +vs/2
+        out = jnp.full(pts.shape[:-1], jnp.inf, jnp.float32)
+        for ax in range(3):
+            p = pts[..., ax] + half_vox
+            d = dirs[..., ax]
+            b = jnp.floor(p / cell)
+            bound = jnp.where(d > 0, (b + 1.0) * cell, b * cell)
+            t_ax = jnp.where(jnp.abs(d) > 1e-12, (bound - p) / d, jnp.inf)
+            out = jnp.minimum(out, jnp.where(t_ax > 0, t_ax, jnp.inf))
+        return jnp.maximum(out + 0.5 * step_min, step_min)
 
     def body(carry):
         k, s, s_prev, hit_lo, hit_hi, found = carry
         pts = origins + s[..., None] * dirs
         phi, present, block_present = _dist_at(grid, pts, gcfg)
+        coarse_occ = vg.lookup_coarse(grid, pts, gcfg)
         crossed = present & (phi >= 0.0) & ~found
         # bracket: [s_prev, s] contains the crossing
         hit_lo = jnp.where(crossed, s_prev, hit_lo)
         hit_hi = jnp.where(crossed, s, hit_hi)
         found = found | crossed
-        # step policy:
+        # step policy (each level is a superset guarantee — an absent
+        # block/cell cannot contain the truncation band):
         #  * observed voxel: sphere-trace with -phi (free space is negative)
         #  * allocated block, unobserved voxel: cautious T step (band may
         #    start one voxel ahead behind a shadow boundary)
-        #  * unallocated block: exact DDA step to the next block boundary —
-        #    absent blocks cannot contain the truncation band
-        dda = jnp.full(s.shape, jnp.inf, jnp.float32)
-        for ax in range(3):
-            p = pts[..., ax]
-            d = dirs[..., ax]
-            b = jnp.floor(p / bs_m)
-            bound = jnp.where(d > 0, (b + 1.0) * bs_m, b * bs_m)
-            t_ax = jnp.where(jnp.abs(d) > 1e-12, (bound - p) / d, jnp.inf)
-            dda = jnp.minimum(dda, jnp.where(t_ax > 0, t_ax, jnp.inf))
-        dda = jnp.maximum(dda + 0.5 * step_min, step_min)
+        #  * unallocated block in an occupied coarse cell: DDA to the next
+        #    block boundary
+        #  * empty coarse 4^3-block cell: DDA to the next coarse boundary
         step = jnp.where(
             present,
             jnp.clip(-phi, step_min, T),
-            jnp.where(block_present, T, dda),
+            jnp.where(
+                block_present,
+                T,
+                jnp.where(coarse_occ, _dda(pts, bs_m), _dda(pts, coarse_m)),
+            ),
         )
         s_new = jnp.where(found | (s > s_max), s, s + step)
         return k + 1, s_new, s, hit_lo, hit_hi, found

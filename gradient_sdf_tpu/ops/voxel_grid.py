@@ -46,6 +46,7 @@ import jax.numpy as jnp
 from ..config import GridConfig
 
 EMPTY_KEY = jnp.int32(-1)
+COARSE_FACTOR = 4  # blocks per coarse occupancy cell edge
 INT32_MAX = jnp.int32(2**31 - 1)
 
 
@@ -61,6 +62,9 @@ class VoxelGrid(NamedTuple):
 
     # dense block directory: block dir-index -> slot (-1 = unallocated)
     directory: jax.Array    # int32 [dir_dim^3]
+    # coarse occupancy mip over 4^3-block cells (1 = any block allocated):
+    # lets the raycaster DDA through far empty space in 4-block steps
+    coarse_occ: jax.Array   # int32 [(dir_dim/4)^3]
     num_active: jax.Array   # int32 [], allocated block count
     overflow: jax.Array     # bool [], sticky capacity-overflow flag
     # block store (SoA), voxel-linearized x-fastest within each block.
@@ -91,8 +95,10 @@ class VoxelGrid(NamedTuple):
 def create(cfg: GridConfig) -> VoxelGrid:
     nb, vpb = cfg.num_blocks, cfg.voxels_per_block
     d3 = cfg.dir_dim**3
+    c3 = (cfg.dir_dim // COARSE_FACTOR) ** 3
     return VoxelGrid(
         directory=jnp.full((d3,), EMPTY_KEY, dtype=jnp.int32),
+        coarse_occ=jnp.zeros((c3,), dtype=jnp.int32),
         num_active=jnp.zeros((), dtype=jnp.int32),
         overflow=jnp.zeros((), dtype=bool),
         block_coords=jnp.zeros((nb, 3), dtype=jnp.int32),
@@ -197,6 +203,24 @@ def lookup_keys(grid: VoxelGrid, keys: jax.Array, cfg: GridConfig) -> jax.Array:
     return jnp.where(keys >= 0, slot, -1)
 
 
+def lookup_coarse(grid: VoxelGrid, points: jax.Array, cfg: GridConfig):
+    """World points (…,3) -> coarse-cell occupancy (bool); False outside
+    the representable volume. One gather from a tiny (128 KB) array."""
+    cell = cfg.block_shape * COARSE_FACTOR  # voxels per coarse cell edge
+    D = cfg.dir_dim
+    C = D // COARSE_FACTOR
+    half = C // 2
+    vi = point_to_voxel(points, cfg.voxel_size)
+    cx = jnp.floor_divide(vi[..., 0], cell) + half
+    cy = jnp.floor_divide(vi[..., 1], cell) + half
+    cz = jnp.floor_divide(vi[..., 2], cell) + half
+    in_range = (
+        (cx >= 0) & (cx < C) & (cy >= 0) & (cy < C) & (cz >= 0) & (cz < C)
+    )
+    lin = jnp.clip((cx * C + cy) * C + cz, 0, C * C * C - 1)
+    return (grid.coarse_occ[lin] > 0) & in_range
+
+
 def lookup_voxels(grid: VoxelGrid, voxel_idx: jax.Array, cfg: GridConfig):
     """Voxel indices (…,3) -> (linear store index (…,), present mask (…,)).
 
@@ -245,6 +269,18 @@ def insert_new(grid: VoxelGrid, keys: jax.Array, want: jax.Array,
     directory = grid.directory.at[jnp.where(ok, keys, d3)].set(
         jnp.where(ok, new_slot, -1), mode="drop"
     )
+    # coarse occupancy: mark the 4^3-block cell of every new block
+    D = cfg.dir_dim
+    C = D // COARSE_FACTOR
+    kz = keys % D
+    ky = (keys // D) % D
+    kx = keys // (D * D)
+    ckey = ((kx // COARSE_FACTOR) * C + (ky // COARSE_FACTOR)) * C + (
+        kz // COARSE_FACTOR
+    )
+    coarse_occ = grid.coarse_occ.at[jnp.where(ok, ckey, C * C * C)].max(
+        1, mode="drop"
+    )
     coords = unpack_key(jnp.maximum(keys, 0), cfg)
     block_coords = grid.block_coords.at[
         jnp.where(ok, new_slot, grid.num_blocks)
@@ -252,6 +288,7 @@ def insert_new(grid: VoxelGrid, keys: jax.Array, want: jax.Array,
 
     return grid._replace(
         directory=directory,
+        coarse_occ=coarse_occ,
         num_active=grid.num_active + jnp.sum(ok.astype(jnp.int32)),
         overflow=overflow,
         block_coords=block_coords,

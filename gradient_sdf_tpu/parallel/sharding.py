@@ -35,7 +35,7 @@ from .mesh import BLOCK_AXIS, RAY_AXIS
 
 def _grid_spec_replicated():
     return vg.VoxelGrid(
-        directory=P(), num_active=P(), overflow=P(),
+        directory=P(), coarse_occ=P(), num_active=P(), overflow=P(),
         block_coords=P(), dist=P(), weight=P(),
         grad_x=P(), grad_y=P(), grad_z=P(),
     )

@@ -30,6 +30,7 @@ def save_state(path: str, grid: vg.VoxelGrid, *, vis=None, counter: int = 0,
         "format_version": FORMAT_VERSION,
         "counter": counter,
         "directory": np.asarray(grid.directory),
+        "coarse_occ": np.asarray(grid.coarse_occ),
         "num_active": np.asarray(grid.num_active),
         "overflow": np.asarray(grid.overflow),
         "block_coords": np.asarray(grid.block_coords),
@@ -59,6 +60,7 @@ def load_state(path: str):
     z = np.load(path, allow_pickle=False)
     grid = vg.VoxelGrid(
         directory=jnp.asarray(z["directory"]),
+        coarse_occ=jnp.asarray(z["coarse_occ"]),
         num_active=jnp.asarray(z["num_active"]),
         overflow=jnp.asarray(z["overflow"]),
         block_coords=jnp.asarray(z["block_coords"]),
