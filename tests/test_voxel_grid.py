@@ -160,3 +160,21 @@ def test_auto_growth_during_fusion():
     # data still sane: weights accumulated, queries work
     phi, grad = m.tsdf(np.array([[0.3, 0.0, 0.0]], np.float32))
     assert np.isfinite(float(phi[0]))
+
+
+def test_coarse_occupancy_superset():
+    """coarse_occ covers every allocated block (raycast skip-safety)."""
+    grid = vg.create(CFG)
+    rng = np.random.RandomState(9)
+    coords = np.unique(rng.randint(-40, 40, (400, 3)).astype(np.int32), axis=0)
+    keys = vg.pack_key(jnp.asarray(coords), CFG)
+    grid = vg.insert_keys(grid, keys, CFG)
+
+    # the center point of every allocated block must be coarse-occupied
+    pts = coords * 8 * CFG.voxel_size  # block-origin voxel centers
+    occ = np.asarray(vg.lookup_coarse(grid, jnp.asarray(pts, jnp.float32), CFG))
+    assert occ.all()
+
+    # a far empty region reads unoccupied
+    far = jnp.asarray([[3.0, 3.0, 3.0]], jnp.float32)
+    assert not bool(vg.lookup_coarse(grid, far, CFG)[0])
