@@ -67,7 +67,10 @@ def main():
     K = synth.KINECT_K
     gcfg = GridConfig(voxel_size=0.01, num_blocks=2**15)
     fcfg = FusionConfig(trunc_voxels=5.0)
-    tcfg = TrackerConfig()
+    # stride-2 tracking: the Scan3D default at VGA (reference precedent:
+    # optimize_sampled, RigidPointOptimizer.h:63-66); accuracy covered by
+    # tests/test_tracker.py::test_tracker_strided_sampling_matches_dense
+    tcfg = TrackerConfig(sampling=2)
 
     world = synth.random_spheres(seed=3)
     poses = synth.orbit_poses(n=16, radius=2.0)

@@ -33,8 +33,6 @@ class GridConfig:
     dir_dim: int = 128                # directory edge; block coords in
     # [-dir_dim/2, dir_dim/2) -> world range +-(dir_dim/2 * 8 * voxel_size),
     # i.e. +-5.1 m at 1 cm voxels; memory dir_dim^3 * 4 B (8 MB at 128)
-    table_size: int = 0               # deprecated (hash design); ignored
-    max_probes: int = 0               # deprecated (hash design); ignored
 
     @property
     def voxels_per_block(self) -> int:
@@ -52,6 +50,15 @@ class FusionConfig:
     view_angle_cos_sq: float = 0.25   # reject (n.h)^2/||h||^2 < .25 (MapGradPixelSdf.cpp:98)
     grad_scale: float = 1.2           # projective-SDF correction heuristic (MapGradPixelSdf.h:111-114)
     normal_window: int = 11           # FALS window (main_scan_3d.cpp:183: 2*5+1)
+    median_blur_depth: bool = False   # 5x5 median-filter the depth before
+    # sampling. The reference computes `med_depth` (MapGradPixelSdf.cpp:53)
+    # but never reads it (the pixel loop uses raw `depth_`, :85-89), so
+    # parity default is OFF; ON gives the denoised variant the reference
+    # apparently intended.
+    compact_chunk_rays: int = 75 * 1024  # fusion processes valid pixels in
+    # compacted chunks of this many rays (adaptive work: cost scales with
+    # the frame's valid-pixel count instead of H*W). 0 = disabled
+    # (single full-frame pass). Exact semantics either way.
 
 
 @dataclasses.dataclass(frozen=True)

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import GridConfig
+from ..ops import filters
 from ..ops import marching_cubes as mc
 from ..ops import voxel_grid as vg
 from ..utils.ply import save_mesh_ply, save_point_cloud_ply
@@ -107,21 +108,8 @@ def compute_color(hr: HrVoxels, images: np.ndarray, poses, K,
         safe_z = jnp.where(jnp.abs(z) > 1e-12, z, 1.0)
         u = fx * p[..., 0] / safe_z + cx
         v = fy * p[..., 1] / safe_z + cy
-        H, W = img.shape[0], img.shape[1]
-        inb = (u >= 0) & (u < W) & (v >= 0) & (v < H) & (z > 0)
-        all_in = jnp.all(inb, axis=-1)  # [V]
-        uc = jnp.clip(u, 0.0, W - 1.000001)
-        vc = jnp.clip(v, 0.0, H - 1.000001)
-        u0 = jnp.floor(uc).astype(jnp.int32)
-        v0 = jnp.floor(vc).astype(jnp.int32)
-        u1 = jnp.minimum(u0 + 1, W - 1)
-        v1 = jnp.minimum(v0 + 1, H - 1)
-        fu = (uc - u0)[..., None]
-        fv = (vc - v0)[..., None]
-        A = (
-            (1 - fv) * ((1 - fu) * img[v0, u0] + fu * img[v0, u1])
-            + fv * ((1 - fu) * img[v1, u0] + fu * img[v1, u1])
-        )  # [V,8,3]
+        A, _, _, inb = filters.bilinear_sample_grad(img, u, v)  # [V,8,3]
+        all_in = jnp.all(inb & (z > 0), axis=-1)  # [V]
         return A, all_in
 
     surf_j = jnp.asarray(surf)
@@ -178,10 +166,8 @@ def build_hr_grid(hr: HrVoxels, gcfg: GridConfig):
     hr_idx = hr_idx.reshape(-1, 3)
     valid = np.ones(len(hr_idx), bool)
 
-    n_unique = 1 << int(np.ceil(np.log2(max(len(hr_idx), 2))))
     hgrid = vg.ensure_blocks(
         hgrid, jnp.asarray(hr_idx), jnp.asarray(valid), hr_gcfg,
-        max_unique=min(n_unique, hr_gcfg.num_blocks * 2),
     )
     lin, present = vg.lookup_voxels(hgrid, jnp.asarray(hr_idx), hr_gcfg)
     lin = np.asarray(lin)

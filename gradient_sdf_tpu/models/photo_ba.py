@@ -52,6 +52,7 @@ import numpy as np
 
 from ..config import GridConfig, PhotoBAConfig
 from ..ops import voxel_grid as vg
+from ..ops.filters import bilinear_sample_grad as _bilerp_rgb
 from ..utils import se3
 
 
@@ -78,36 +79,6 @@ def _surface_points(problem: BAProblem, dist: jax.Array, voxel_size: float):
         jnp.linalg.norm(problem.grad, axis=-1, keepdims=True), 1e-12
     )
     return problem.vox.astype(jnp.float32) * voxel_size - dist[:, None] * ghat
-
-
-def _bilerp_rgb(img: jax.Array, u: jax.Array, v: jax.Array):
-    """Bilinear RGB sample + analytic image gradient.
-
-    Returns (A [.,3], dAdu [.,3], dAdv [.,3], inb [.]).
-    In-bounds test matches the reference (0 <= u < W, 0 <= v < H,
-    `PhotometricOptimizer.cpp:176-178`); interior gradients equal the
-    reference's bilinearly-weighted forward differences.
-    """
-    H, W = img.shape[0], img.shape[1]
-    inb = (u >= 0) & (u < W) & (v >= 0) & (v < H)
-    uc = jnp.clip(u, 0.0, W - 1.000001)
-    vc = jnp.clip(v, 0.0, H - 1.000001)
-    u0 = jnp.floor(uc).astype(jnp.int32)
-    v0 = jnp.floor(vc).astype(jnp.int32)
-    u1 = jnp.minimum(u0 + 1, W - 1)
-    v1 = jnp.minimum(v0 + 1, H - 1)
-    fu = (uc - u0)[..., None]
-    fv = (vc - v0)[..., None]
-    i00 = img[v0, u0]
-    i01 = img[v0, u1]
-    i10 = img[v1, u0]
-    i11 = img[v1, u1]
-    top = i00 + fu * (i01 - i00)
-    bot = i10 + fu * (i11 - i10)
-    A = top + fv * (bot - top)
-    dAdu = (1 - fv) * (i01 - i00) + fv * (i11 - i10)
-    dAdv = (1 - fu) * (i10 - i00) + fu * (i11 - i01)
-    return A, dAdu, dAdv, inb
 
 
 def _per_frame_terms(problem: BAProblem, x: jax.Array, Ri, ti, img, vis_i):

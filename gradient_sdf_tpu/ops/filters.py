@@ -1,12 +1,14 @@
 """Small image filters: median blur and bilinear sampling.
 
 The reference uses cv::medianBlur(depth, 5) before fusion
-(`MapGradPixelSdf.cpp:53`) and hand-rolled bilinear sampling with
-finite-difference image gradients in PhotoBA
-(`PhotometricOptimizer.cpp:57-139`). Both become XLA-native here: the median
-as a fixed 25-element sorting network via jnp.sort over a patch axis, the
-sampler as a gather + lerp that is differentiable (so PhotoBA Jacobians come
-from jax.grad instead of hand-derived chain rules).
+(`MapGradPixelSdf.cpp:53` — note the reference computes `med_depth` but its
+pixel loop reads the raw depth, so the filter is dead code there; here it is
+wired behind `FusionConfig.median_blur_depth`, default off for parity) and
+hand-rolled bilinear sampling with finite-difference image gradients in
+PhotoBA (`PhotometricOptimizer.cpp:57-139`). Both become XLA-native here:
+the median as a fixed 25-element sorting network via jnp.sort over a patch
+axis, the sampler as a gather + lerp whose analytic derivative equals the
+reference's bilinearly-weighted forward differences in the interior.
 """
 
 from __future__ import annotations
@@ -34,38 +36,36 @@ def median_blur(img: jax.Array, ksize: int = 5) -> jax.Array:
     return jnp.sort(stack, axis=-1)[..., (ksize * ksize) // 2]
 
 
-def bilinear_sample(img: jax.Array, uv: jax.Array, *, channel_last: bool = True):
-    """Differentiable bilinear sampling.
+def bilinear_sample_grad(img: jax.Array, u: jax.Array, v: jax.Array):
+    """Bilinear sample + analytic image gradient (the framework's single
+    image sampler; PhotoBA's intensity/Jacobian source).
 
-    img: [H, W] or [H, W, C]; uv: (…, 2) pixel coords (u = x/col, v = y/row).
-    Returns (values (…,) or (…, C), in_bounds mask (…,)).
+    img: [H, W, C]; u/v: (…,) pixel coords (u = x/col, v = y/row).
+    Returns (A (…,C), dAdu (…,C), dAdv (…,C), in_bounds (…,)).
 
-    Out-of-bounds samples clamp to the border and report in_bounds=False —
-    mirroring PhotoBA's border cases (PhotometricOptimizer.cpp:57-139) where
-    out-of-image projections are discarded by the caller.
+    In-bounds test matches the reference (0 <= u < W, 0 <= v < H,
+    `PhotometricOptimizer.cpp:176-178`); out-of-bounds samples clamp to the
+    border and callers discard them via the mask. Interior gradients equal
+    the reference's bilinearly-weighted forward differences
+    (`computeImageGradient`, PhotometricOptimizer.cpp:81-139).
     """
-    has_c = img.ndim == 3
     H, W = img.shape[0], img.shape[1]
-    u = uv[..., 0]
-    v = uv[..., 1]
-    in_bounds = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1)
-    u = jnp.clip(u, 0.0, W - 1.000001)
-    v = jnp.clip(v, 0.0, H - 1.000001)
-    u0 = jnp.floor(u).astype(jnp.int32)
-    v0 = jnp.floor(v).astype(jnp.int32)
+    inb = (u >= 0) & (u < W) & (v >= 0) & (v < H)
+    uc = jnp.clip(u, 0.0, W - 1.000001)
+    vc = jnp.clip(v, 0.0, H - 1.000001)
+    u0 = jnp.floor(uc).astype(jnp.int32)
+    v0 = jnp.floor(vc).astype(jnp.int32)
     u1 = jnp.minimum(u0 + 1, W - 1)
     v1 = jnp.minimum(v0 + 1, H - 1)
-    fu = u - u0
-    fv = v - v0
-
-    def g(vi, ui):
-        return img[vi, ui] if not has_c else img[vi, ui, :]
-
-    w00 = (1 - fu) * (1 - fv)
-    w10 = fu * (1 - fv)
-    w01 = (1 - fu) * fv
-    w11 = fu * fv
-    if has_c:
-        w00, w10, w01, w11 = (w[..., None] for w in (w00, w10, w01, w11))
-    val = w00 * g(v0, u0) + w10 * g(v0, u1) + w01 * g(v1, u0) + w11 * g(v1, u1)
-    return val, in_bounds
+    fu = (uc - u0)[..., None]
+    fv = (vc - v0)[..., None]
+    i00 = img[v0, u0]
+    i01 = img[v0, u1]
+    i10 = img[v1, u0]
+    i11 = img[v1, u1]
+    top = i00 + fu * (i01 - i00)
+    bot = i10 + fu * (i11 - i10)
+    A = top + fv * (bot - top)
+    dAdu = (1 - fv) * (i01 - i00) + fv * (i11 - i10)
+    dAdv = (1 - fu) * (i10 - i00) + fu * (i11 - i01)
+    return A, dAdu, dAdv, inb

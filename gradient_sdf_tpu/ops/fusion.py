@@ -20,11 +20,23 @@ fused, jit-compiled pass with no data-dependent control flow:
      order-independent, so it is parallel-safe without the reference's
      `omp critical` (`MapGradPixelSdfOmp.cpp:112-121`).
 
+Adaptive work via **valid-ray compaction** (round 2): the frame cost is
+dominated by the ~6 random-HBM passes (1 slot lookup + 5 scatter-adds) over
+all H*W*K samples, yet typically only 30-70% of pixels survive the gates.
+`fuse_frame` therefore compacts the valid pixel indices (`jnp.nonzero`) and
+integrates them in fixed-size chunks of `FusionConfig.compact_chunk_rays`
+rays inside a `lax.while_loop` — the number of executed chunks, and hence
+the random-pass traffic, scales with the frame's valid-pixel count instead
+of H*W. Chunking is exact: the per-chunk state merge is associative (the
+running weighted mean is linear in the accumulators) and chunk-ordered
+allocation assigns block slots in the same (pixel, k) candidate order as a
+single full-frame pass.
+
 TPU-compiler notes: all coordinate math is carried as separate x/y/z
-component arrays of shape [H, W] / [H, W, K] — [N, 3]-shaped math with a
+component arrays of shape [N] / [N, K] — [N, 3]-shaped math with a
 3-wide minor axis sends the TPU backend's compile time from seconds to
 minutes. Block keys are packed ONCE per sample and reused for both
-allocation (unique+insert) and the scatter lookup.
+allocation (claim insert) and the scatter lookup.
 
 The per-voxel *visibility* bitmask (reference `vis_`,
 `MapGradPixelSdf.h:70`, consumed by PhotoBA/ColorUpsampler) is kept as a
@@ -41,6 +53,7 @@ import jax.numpy as jnp
 
 from ..config import FusionConfig, GridConfig
 from . import voxel_grid as vg
+from .filters import median_blur
 from .normals import NormalEstimatorCache, compute_normals
 
 
@@ -56,24 +69,26 @@ class FrameSamples(NamedTuple):
     wn_z: jax.Array
 
 
-def _sample_frame(
+class FrameRays(NamedTuple):
+    """Flat per-pixel quantities feeding the sample walk (all [H*W])."""
+
+    z: jax.Array        # depth
+    hx: jax.Array       # ray direction x0 (camera frame, z=1 plane)
+    hy: jax.Array
+    nx: jax.Array       # FALS normal (camera frame; zeroed where non-finite)
+    ny: jax.Array
+    nz: jax.Array
+    valid: jax.Array    # bool: all three reference pixel gates
+
+
+def _pixel_rays(
     depth: jax.Array,
     normal_img: jax.Array,
     cache: NormalEstimatorCache,
-    R: jax.Array,
-    t: jax.Array,
-    gcfg: GridConfig,
     fcfg: FusionConfig,
-) -> FrameSamples:
-    """Compute packed block keys + weighted contributions for every sample."""
-    vs = gcfg.voxel_size
-    inv_vs = 1.0 / vs
-    b = gcfg.block_shape
-    T = fcfg.trunc_voxels * vs
-    factor = int(fcfg.trunc_voxels)  # floor(T / vs), reference :79
-    K = 2 * factor + 1
-
-    z = depth  # [H, W]; reference uses the raw depth in this loop (:85-89)
+) -> FrameRays:
+    """Per-pixel gating (reference `MapGradPixelSdf.cpp:85-98`)."""
+    z = depth
     hx, hy = cache.x0, cache.y0
     nx = normal_img[..., 0]
     ny = normal_img[..., 1]
@@ -85,15 +100,44 @@ def _sample_frame(
     nz = jnp.where(n_finite, nz, 0.0)
     n_sq = nx * nx + ny * ny + nz * nz
     ndoth = nx * hx + ny * hy + nz
-    pix_valid = (
+    valid = (
         (z > fcfg.z_min)
         & (z < fcfg.z_max)
         & n_finite
         & (n_sq >= fcfg.normal_sq_min)
         & (ndoth * ndoth * cache.n_sq_inv >= fcfg.view_angle_cos_sq)
     )
+    return FrameRays(
+        z=z.reshape(-1),
+        hx=jnp.broadcast_to(hx, z.shape).reshape(-1),
+        hy=jnp.broadcast_to(hy, z.shape).reshape(-1),
+        nx=nx.reshape(-1),
+        ny=ny.reshape(-1),
+        nz=nz.reshape(-1),
+        valid=valid.reshape(-1),
+    )
 
-    # rotated ray and normal, componentwise ([H, W] each)
+
+def _ray_samples(
+    rays: FrameRays,
+    R: jax.Array,
+    t: jax.Array,
+    gcfg: GridConfig,
+    fcfg: FusionConfig,
+) -> FrameSamples:
+    """Walk 2*floor(T/vs)+1 voxel samples along each (flat) ray
+    (reference :79, :101-116) -> packed keys + weighted contributions."""
+    vs = gcfg.voxel_size
+    inv_vs = 1.0 / vs
+    b = gcfg.block_shape
+    T = fcfg.trunc_voxels * vs
+    factor = int(fcfg.trunc_voxels)  # floor(T / vs), reference :79
+    K = 2 * factor + 1
+
+    z, hx, hy = rays.z, rays.hx, rays.hy
+    nx, ny, nz = rays.nx, rays.ny, rays.nz
+
+    # rotated ray and normal, componentwise ([N] each)
     rh_x = R[0, 0] * hx + R[0, 1] * hy + R[0, 2]
     rh_y = R[1, 0] * hx + R[1, 1] * hy + R[1, 2]
     rh_z = R[2, 0] * hx + R[2, 1] * hy + R[2, 2]
@@ -102,11 +146,11 @@ def _sample_frame(
     rn_z = R[2, 0] * nx + R[2, 1] * ny + R[2, 2] * nz
 
     ks = jnp.arange(-factor, factor + 1, dtype=jnp.float32)  # [K]
-    depth_k = z[..., None] + ks * vs  # [H, W, K]
+    depth_k = z[:, None] + ks * vs  # [N, K]
 
-    px = depth_k * rh_x[..., None] + t[0]
-    py = depth_k * rh_y[..., None] + t[1]
-    pz = depth_k * rh_z[..., None] + t[2]
+    px = depth_k * rh_x[:, None] + t[0]
+    py = depth_k * rh_y[:, None] + t[1]
+    pz = depth_k * rh_z[:, None] + t[2]
     vi_x = jnp.round(px * inv_vs).astype(jnp.int32)
     vi_y = jnp.round(py * inv_vs).astype(jnp.int32)
     vi_z = jnp.round(pz * inv_vs).astype(jnp.int32)
@@ -116,12 +160,12 @@ def _sample_frame(
         R[0, 2] * (vi_x.astype(jnp.float32) * vs - t[0])
         + R[1, 2] * (vi_y.astype(jnp.float32) * vs - t[1])
         + R[2, 2] * (vi_z.astype(jnp.float32) * vs - t[2])
-        - z[..., None]
+        - z[:, None]
     )
 
     # integration weight (Sdf.h:76-85): 1 behind surface, linear drop in front
     w = jnp.where(sdf <= 0.0, 1.0, jnp.maximum(0.0, 1.0 - sdf / T))
-    w = jnp.where(pix_valid[..., None], w, 0.0)
+    w = jnp.where(rays.valid[:, None], w, 0.0)
     trunc_sdf = jnp.clip(sdf, -T, T)
 
     bx = jnp.floor_divide(vi_x, b)
@@ -139,10 +183,25 @@ def _sample_frame(
         local_lin=local_lin.reshape(-1),
         w=w.reshape(-1),
         wd=(w * trunc_sdf).reshape(-1),
-        wn_x=(w * rn_x[..., None]).reshape(-1),
-        wn_y=(w * rn_y[..., None]).reshape(-1),
-        wn_z=(w * rn_z[..., None]).reshape(-1),
+        wn_x=(w * rn_x[:, None]).reshape(-1),
+        wn_y=(w * rn_y[:, None]).reshape(-1),
+        wn_z=(w * rn_z[:, None]).reshape(-1),
     )
+
+
+def _sample_frame(
+    depth: jax.Array,
+    normal_img: jax.Array,
+    cache: NormalEstimatorCache,
+    R: jax.Array,
+    t: jax.Array,
+    gcfg: GridConfig,
+    fcfg: FusionConfig,
+) -> FrameSamples:
+    """Full-frame (uncompacted) sample generation — used by the sharded
+    fusion path, which shards rays across devices instead of compacting."""
+    rays = _pixel_rays(depth, normal_img, cache, fcfg)
+    return _ray_samples(rays, R, t, gcfg, fcfg)
 
 
 def _apply_samples(grid: vg.VoxelGrid, s: FrameSamples, slot, gcfg: GridConfig,
@@ -188,33 +247,10 @@ def _apply_samples(grid: vg.VoxelGrid, s: FrameSamples, slot, gcfg: GridConfig,
     return grid, lin, ok
 
 
-def fuse_frame(
-    grid: vg.VoxelGrid,
-    depth: jax.Array,
-    cache: NormalEstimatorCache,
-    R: jax.Array,
-    t: jax.Array,
-    gcfg: GridConfig,
-    fcfg: FusionConfig,
-    *,
-    vis: Optional[jax.Array] = None,
-    kf_slot: Optional[jax.Array] = None,
-    max_unique_blocks: int = 0,  # deprecated (claim insert); ignored
-    accumulate_gradients: bool = True,
-):
-    """Integrate one depth frame under pose (R, t) (camera-to-world).
-
-    Returns the updated grid (and updated vis bitfield if given).
-    `vis` is uint32 [num_blocks, B^3, kf_words]; `kf_slot` the keyframe slot
-    to mark (negative = not a keyframe -> vis unchanged).
-    `accumulate_gradients=False` gives the baseline TSDF fusion
-    (`MapPixelSdf::update`, MapPixelSdf.cpp:114-189: identical gating and
-    dist/weight updates, no gradient) — used by the base-sdf ablation path.
-    """
-    normal_img = compute_normals(cache, depth)
-    s = _sample_frame(depth, normal_img, cache, R, t, gcfg, fcfg)
-
-    # block allocation: on steady-state frames (no unseen blocks) the whole
+def _integrate_samples(grid, s: FrameSamples, gcfg, accumulate_gradients,
+                       vis, kf_slot):
+    """Allocate + scatter + merge one batch of samples (and mark vis)."""
+    # block allocation: on steady-state batches (no unseen blocks) the whole
     # claim/insert pass and its re-lookup are skipped — the initial lookup
     # both answers "anything new?" and provides the scatter slots
     slot0 = vg.lookup_keys(grid, s.keys, gcfg)
@@ -238,12 +274,91 @@ def fuse_frame(
             ok.astype(jnp.int32), mode="drop"
         )
         touched = touched.reshape(shape).astype(jnp.uint32)
-        slot = jnp.asarray(kf_slot, jnp.int32)
-        word = jnp.clip(slot // 32, 0, vis.shape[-1] - 1)
-        bit = (slot % 32).astype(jnp.uint32)
-        mark = jnp.where(slot >= 0, touched << bit, jnp.uint32(0))
+        kslot = jnp.asarray(kf_slot, jnp.int32)
+        word = jnp.clip(kslot // 32, 0, vis.shape[-1] - 1)
+        bit = (kslot % 32).astype(jnp.uint32)
+        mark = jnp.where(kslot >= 0, touched << bit, jnp.uint32(0))
         onehot = (jnp.arange(vis.shape[-1], dtype=jnp.int32) == word)
         vis = vis | jnp.where(onehot, mark[..., None], jnp.uint32(0))
-        return grid, vis
+    return grid, vis
 
-    return grid
+
+def _gather_ray_chunk(rays: FrameRays, idx: jax.Array, start, chunk: int,
+                      count) -> FrameRays:
+    """Slice `chunk` compacted ray indices at `start` and gather their
+    per-pixel data; rays past `count` are masked invalid."""
+    ii = jax.lax.dynamic_slice(idx, (start,), (chunk,))
+    mask = (start + jnp.arange(chunk, dtype=jnp.int32)) < count
+    return FrameRays(
+        z=rays.z[ii], hx=rays.hx[ii], hy=rays.hy[ii],
+        nx=rays.nx[ii], ny=rays.ny[ii], nz=rays.nz[ii],
+        valid=mask,
+    )
+
+
+def fuse_frame(
+    grid: vg.VoxelGrid,
+    depth: jax.Array,
+    cache: NormalEstimatorCache,
+    R: jax.Array,
+    t: jax.Array,
+    gcfg: GridConfig,
+    fcfg: FusionConfig,
+    *,
+    vis: Optional[jax.Array] = None,
+    kf_slot: Optional[jax.Array] = None,
+    accumulate_gradients: bool = True,
+):
+    """Integrate one depth frame under pose (R, t) (camera-to-world).
+
+    Returns the updated grid (and updated vis bitfield if given).
+    `vis` is uint32 [num_blocks, B^3, kf_words]; `kf_slot` the keyframe slot
+    to mark (negative = not a keyframe -> vis unchanged).
+    `accumulate_gradients=False` gives the baseline TSDF fusion
+    (`MapPixelSdf::update`, MapPixelSdf.cpp:114-189: identical gating and
+    dist/weight updates, no gradient) — used by the base-sdf ablation path.
+    """
+    normal_img = compute_normals(cache, depth)
+    if fcfg.median_blur_depth:
+        depth = median_blur(depth, 5)
+    rays = _pixel_rays(depth, normal_img, cache, fcfg)
+    n_rays = rays.z.shape[0]
+    chunk = int(fcfg.compact_chunk_rays)
+
+    if chunk <= 0 or chunk >= n_rays:
+        # single full-frame pass (no compaction)
+        s = _ray_samples(rays, R, t, gcfg, fcfg)
+        grid, vis = _integrate_samples(
+            grid, s, gcfg, accumulate_gradients, vis, kf_slot
+        )
+        return (grid, vis) if vis is not None else grid
+
+    count = jnp.sum(rays.valid.astype(jnp.int32))
+    # compacted valid-pixel indices, padded so fixed-size chunk slices never
+    # clamp (a clamped dynamic_slice would re-integrate earlier rays)
+    (idx,) = jnp.nonzero(rays.valid, size=n_rays, fill_value=0)
+    idx = idx.astype(jnp.int32)
+    pad = (-n_rays) % chunk
+    if pad:
+        idx = jnp.pad(idx, (0, pad))
+
+    has_vis = vis is not None
+    vis_c = vis if has_vis else jnp.zeros((0,), jnp.uint32)
+
+    def cond(carry):
+        start, _, _ = carry
+        return start < count
+
+    def body(carry):
+        start, g, v = carry
+        rc = _gather_ray_chunk(rays, idx, start, chunk, count)
+        s = _ray_samples(rc, R, t, gcfg, fcfg)
+        g, v2 = _integrate_samples(
+            g, s, gcfg, accumulate_gradients, v if has_vis else None, kf_slot
+        )
+        return start + chunk, g, (v2 if has_vis else v)
+
+    _, grid, vis_out = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), grid, vis_c)
+    )
+    return (grid, vis_out) if has_vis else grid

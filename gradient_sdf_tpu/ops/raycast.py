@@ -4,9 +4,8 @@ The reference has no renderer (tracking queries the SDF at backprojected
 depth pixels instead); this module adds the TPU-native rendering path the
 north star requires: depth/normal images rendered by sphere tracing the
 block-sparse gradient-SDF, fully vectorized over rays (one gather per step
-per ray), differentiable w.r.t. pose via an implicit-function-theorem custom
-VJP. It is the Mrays/s benchmark kernel and the basis of rendered-depth
-parity checks against fused geometry.
+per ray). It is the Mrays/s benchmark kernel and the basis of
+rendered-depth parity checks against fused geometry.
 
 March semantics: outside allocated blocks the field is unknown but — by
 construction of fusion (`MapGradPixelSdf.cpp:101-116`) — every point within
@@ -14,6 +13,24 @@ truncation distance T of the surface is allocated, so an unallocated sample
 is at least T from the surface and the ray can safely advance by T. Inside
 the band, the semi-implicit value phi = dist + 1.2 ghat . (c - p) is a local
 distance estimate; steps are clamped to [step_min, T].
+
+Hierarchy (PERF_NOTES.md): empty space is skipped by DDA over block
+boundaries and over a coarse 4^3-block occupancy mip. On top of that,
+`render_depth_normal` runs a low-resolution *prior pass* first and marches
+each full-res ray only inside [min - margin, max + margin] of its coarse
+3x3 neighborhood's hit range (the min/max range-image technique of
+voxel-hashing raycasters); rays whose whole coarse neighborhood missed fall
+back to the full march, so only sub-coarse-pixel geometry can be skipped.
+
+Differentiability: the march itself is non-differentiable control flow
+(`lax.while_loop`), so the returned hit is re-expressed as one Newton step
+from the stop-gradient'ed bracket midpoint:
+    s* = s0 - phi(o + s0 d) / (grad_phi . d),   s0 = stop_gradient(s_hit).
+At the root this is the implicit-function-theorem derivative: d s*/d theta
+= -(d phi/d theta)/(grad_phi . d) exactly, so depth gradients w.r.t. pose
+(through o, d) AND w.r.t. the grid fields (through the tsdf_grad gathers)
+flow without a custom VJP. Verified against finite differences in
+tests/test_raycast.py.
 
 Sign convention (reference Sdf.h:76-85): the fused field is NEGATIVE in
 observed free space and positive behind the surface, so rays march while
@@ -23,7 +40,7 @@ fixed-count bisection.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +51,7 @@ from . import voxel_grid as vg
 
 
 class RaycastResult(NamedTuple):
-    depth: jax.Array   # [N] camera-z depth (0 where no hit)
+    depth: jax.Array   # [N] ray-parameter depth (0 where no hit)
     points: jax.Array  # [N, 3] world-space hit points
     normal: jax.Array  # [N, 3] outward unit normals (-ghat)
     hit: jax.Array     # [N] bool
@@ -61,18 +78,30 @@ def raycast(
     *,
     s_min: float = 0.1,
     s_max: float = 5.0,
+    s_lo: Optional[jax.Array] = None,   # [N] per-ray march window start
+    s_hi: Optional[jax.Array] = None,   # [N] per-ray march window end
     max_steps: int = 192,
     bisect_steps: int = 8,
 ) -> RaycastResult:
-    """Trace N rays; returns first zero crossing along each."""
+    """Trace N rays; returns first zero crossing along each.
+
+    `s_lo`/`s_hi` optionally bound each ray's march window (from a depth
+    prior); they default to the scalar [s_min, s_max]."""
     T = fcfg.trunc_voxels * gcfg.voxel_size
     step_min = 0.25 * gcfg.voxel_size
 
-    s0 = jnp.full(origins.shape[:-1], s_min, jnp.float32)
+    if s_lo is None:
+        s0 = jnp.full(origins.shape[:-1], s_min, jnp.float32)
+    else:
+        s0 = jnp.maximum(s_lo, s_min)
+    if s_hi is None:
+        s_end = jnp.full(origins.shape[:-1], s_max, jnp.float32)
+    else:
+        s_end = jnp.minimum(s_hi, s_max)
 
     def cond(carry):
         k, s, s_prev, hit_lo, hit_hi, found = carry
-        alive = ~found & (s <= s_max)
+        alive = ~found & (s <= s_end)
         return (k < max_steps) & jnp.any(alive)
 
     bs_m = gcfg.block_shape * gcfg.voxel_size
@@ -121,7 +150,7 @@ def raycast(
                 jnp.where(coarse_occ, _dda(pts, bs_m), _dda(pts, coarse_m)),
             ),
         )
-        s_new = jnp.where(found | (s > s_max), s, s + step)
+        s_new = jnp.where(found | (s > s_end), s, s + step)
         return k + 1, s_new, s, hit_lo, hit_hi, found
 
     init = (jnp.int32(0), s0, s0, s0, s0, jnp.zeros(s0.shape, bool))
@@ -138,7 +167,37 @@ def raycast(
         return lo, hi
 
     lo, hi = jax.lax.fori_loop(0, bisect_steps, bisect, (lo, hi))
-    s_hit = 0.5 * (lo + hi)
+
+    # one differentiable Newton/IFT step from the stop-gradient'ed bracket
+    # midpoint (module docstring): value ~= bisection midpoint, derivative =
+    # the implicit-function-theorem depth gradient.
+    #
+    # Gradient subtlety: the semi-implicit field phi(p) = dist + s ghat.(c-p)
+    # is macroscopically increasing along the stored (inward) gradient —
+    # that is the SEMANTIC gradient the query returns, +s ghat — but its
+    # within-voxel sawtooth slope is -s ghat (c is the frozen voxel center),
+    # so naive autodiff through the query would flip the depth gradient's
+    # sign. The polish therefore freezes the query point and reattaches the
+    # spatial dependence as an explicit linearization with the semantic
+    # gradient (verified against finite differences in tests/test_raycast.py).
+    s_mid = jax.lax.stop_gradient(0.5 * (lo + hi))
+    pts_mid = origins + s_mid[..., None] * dirs
+    pts_frozen = jax.lax.stop_gradient(pts_mid)
+    phi_mid, grad_mid, w_mid = query.tsdf_grad(grid, pts_frozen, gcfg, fcfg)
+    g_sem = jax.lax.stop_gradient(grad_mid)
+    phi_lin = phi_mid + jnp.sum(g_sem * (pts_mid - pts_frozen), axis=-1)
+    denom = jax.lax.stop_gradient(jnp.sum(grad_mid * dirs, axis=-1))
+    # at a valid crossing the field increases along the ray (denom > 0);
+    # floor the denominator for near-tangent rays
+    safe = (w_mid > 0.0) & (denom > 0.0)
+    denom_f = jnp.maximum(denom, 0.25 * fcfg.grad_scale)
+    s_ift = s_mid - phi_lin / denom_f
+    # straight-through: VALUE = bisection midpoint (the bracket converges on
+    # the macro zero crossing), GRADIENT = the IFT expression. Using the IFT
+    # value directly would inject the O(voxel) jump residual phi(s_mid) into
+    # the depth estimate.
+    s_hit = jnp.where(safe, s_mid + s_ift - jax.lax.stop_gradient(s_ift),
+                      s_mid)
 
     pts = origins + s_hit[..., None] * dirs
     _, grad, w = query.tsdf_grad(grid, pts, gcfg, fcfg)
@@ -171,6 +230,25 @@ def camera_rays(K, R, t, width: int, height: int):
     return origins, dirs, (1.0 / hnorm[..., 0])
 
 
+def _neighborhood_minmax(img: jax.Array, mask: jax.Array):
+    """3x3 min/max over `img` counting only masked entries; also returns
+    whether any neighbor is masked. Edge-padded."""
+    big = jnp.where(mask, img, jnp.inf)
+    small = jnp.where(mask, img, -jnp.inf)
+    anym = mask
+    mn, mx = big, small
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            mn = jnp.minimum(mn, jnp.roll(big, (dy, dx), axis=(0, 1)))
+            mx = jnp.maximum(mx, jnp.roll(small, (dy, dx), axis=(0, 1)))
+            anym = anym | jnp.roll(mask, (dy, dx), axis=(0, 1))
+    # jnp.roll wraps; wrapped neighbors only widen the window (safe: windows
+    # only ever grow toward the full [s_min, s_max] fallback)
+    return mn, mx, anym
+
+
 def render_depth_normal(
     grid: vg.VoxelGrid,
     K,
@@ -180,11 +258,47 @@ def render_depth_normal(
     height: int,
     gcfg: GridConfig,
     fcfg: FusionConfig,
+    *,
+    prior_stride: int = 8,
+    s_min: float = 0.1,
+    s_max: float = 5.0,
     **kw,
 ):
-    """Render a depth (camera-z) and normal image from pose (R, t)."""
+    """Render a depth (camera-z) and normal image from pose (R, t).
+
+    With `prior_stride` > 1 a low-res prior pass (1/stride^2 of the rays)
+    marches first and each full-res ray then marches only inside the
+    [min - margin, max + margin] hit range of its coarse 3x3 neighborhood —
+    the dominant raycast speedup (PERF_NOTES.md). `prior_stride=0` disables.
+    """
     origins, dirs, inv_hnorm = camera_rays(K, R, t, width, height)
-    res = raycast(grid, origins, dirs, gcfg, fcfg, **kw)
+
+    s_lo = s_hi = None
+    if prior_stride and prior_stride > 1 and width % prior_stride == 0 \
+            and height % prior_stride == 0:
+        wc, hc = width // prior_stride, height // prior_stride
+        # coarse rays = the full-res rays at strided pixel centers
+        d_img = dirs.reshape(height, width, 3)
+        o_img = origins.reshape(height, width, 3)
+        off = prior_stride // 2
+        d_c = d_img[off::prior_stride, off::prior_stride].reshape(-1, 3)
+        o_c = o_img[off::prior_stride, off::prior_stride].reshape(-1, 3)
+        res_c = raycast(grid, o_c, d_c, gcfg, fcfg,
+                        s_min=s_min, s_max=s_max, **kw)
+        sc = res_c.depth.reshape(hc, wc)
+        mc = res_c.hit.reshape(hc, wc)
+        mn, mx, anyhit = _neighborhood_minmax(sc, mc)
+        T = fcfg.trunc_voxels * gcfg.voxel_size
+        margin = 2.0 * T + 0.1
+        lo_c = jnp.where(anyhit, jnp.maximum(mn - margin, s_min), s_min)
+        hi_c = jnp.where(anyhit, jnp.minimum(mx + margin, s_max), s_max)
+        s_lo = jnp.repeat(jnp.repeat(lo_c, prior_stride, 0), prior_stride, 1)
+        s_hi = jnp.repeat(jnp.repeat(hi_c, prior_stride, 0), prior_stride, 1)
+        s_lo = s_lo.reshape(-1)
+        s_hi = s_hi.reshape(-1)
+
+    res = raycast(grid, origins, dirs, gcfg, fcfg,
+                  s_min=s_min, s_max=s_max, s_lo=s_lo, s_hi=s_hi, **kw)
     depth = (res.depth * inv_hnorm).reshape(height, width)
     normal = res.normal.reshape(height, width, 3)
     hit = res.hit.reshape(height, width)

@@ -304,12 +304,9 @@ def insert_keys(grid: VoxelGrid, keys: jax.Array, cfg: GridConfig) -> VoxelGrid:
 
 
 def ensure_blocks(grid: VoxelGrid, voxel_idx: jax.Array, valid: jax.Array,
-                  cfg: GridConfig, max_unique: int = 0) -> VoxelGrid:
-    """Allocate blocks for all (valid) voxel indices that need them.
-
-    `max_unique` is accepted for backwards compatibility and ignored: the
-    claim-based insert needs no deduplication.
-    """
+                  cfg: GridConfig) -> VoxelGrid:
+    """Allocate blocks for all (valid) voxel indices that need them
+    (claim-based insert; duplicates fine, no deduplication needed)."""
     block, _ = voxel_to_block(voxel_idx.reshape(-1, 3), cfg)
     keys = pack_key(block, cfg)
     keys = jnp.where(valid.reshape(-1), keys, EMPTY_KEY)

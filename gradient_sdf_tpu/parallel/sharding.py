@@ -103,8 +103,7 @@ def sharded_track_frame(mesh, grid, depth, K, R0, t0, gcfg, fcfg, tcfg):
     return R, t, converged, k
 
 
-def sharded_fuse_frame(mesh, grid, depth, cache, R, t, gcfg, fcfg,
-                       max_unique_blocks: int = 8192):
+def sharded_fuse_frame(mesh, grid, depth, cache, R, t, gcfg, fcfg):
     """Fusion with ray-sharded sample generation + psum'd accumulators.
 
     Block allocation runs replicated (deterministic); the contribution

@@ -27,7 +27,7 @@ def test_loss_weights():
 
 def test_rigid_point_optimizer_wrapper():
     cfg = PipelineConfig(
-        grid=GridConfig(voxel_size=0.02, num_blocks=2048, table_size=8192),
+        grid=GridConfig(voxel_size=0.02, num_blocks=2048),
     )
     W, H = 96, 72
     K = np.array([[79.0, 0, 47.5], [0, 79.0, 35.5], [0, 0, 1]], np.float32)

@@ -11,7 +11,7 @@ from gradient_sdf_tpu.utils import checkpoint as ckpt
 
 
 def test_state_roundtrip(tmp_path):
-    gcfg = GridConfig(num_blocks=128, table_size=512)
+    gcfg = GridConfig(num_blocks=128)
     grid = vg.create(gcfg)
     coords = jnp.asarray([[1, 2, 3], [-4, 0, 5]], jnp.int32)
     grid = vg.insert_keys(grid, vg.pack_key(coords, gcfg), gcfg)

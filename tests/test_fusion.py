@@ -14,7 +14,7 @@ from oracle import fuse_oracle
 # small camera for fast CPU tests
 W, H = 64, 48
 K = np.array([[52.5, 0, 31.5], [0, 52.5, 23.5], [0, 0, 1]], dtype=np.float32)
-GCFG = GridConfig(voxel_size=0.02, num_blocks=2048, table_size=8192)
+GCFG = GridConfig(voxel_size=0.02, num_blocks=2048)
 FCFG = FusionConfig(trunc_voxels=5.0)
 
 
@@ -154,3 +154,59 @@ def test_visibility_bits(world, cache):
         vis=vis, kf_slot=jnp.int32(-1),
     )
     np.testing.assert_array_equal(np.asarray(vis2), vis_np)
+
+
+def test_chunked_compaction_matches_full(world, cache):
+    """Valid-ray compaction (FusionConfig.compact_chunk_rays) is exact: same
+    block slot order, same state, same vis bits as a full-frame pass."""
+    f_chunk = FusionConfig(trunc_voxels=5.0, compact_chunk_rays=512)
+    f_full = FusionConfig(trunc_voxels=5.0, compact_chunk_rays=0)
+    ga, gb = vg.create(GCFG), vg.create(GCFG)
+    for i in range(3):
+        R, t = make_pose(i)
+        depth = synth.render_depth(world, jnp.asarray(R), jnp.asarray(t), K, W, H)
+        ga = fusion.fuse_frame(ga, depth, cache, jnp.asarray(R),
+                               jnp.asarray(t), GCFG, f_full)
+        gb = fusion.fuse_frame(gb, depth, cache, jnp.asarray(R),
+                               jnp.asarray(t), GCFG, f_chunk)
+    assert int(ga.num_active) == int(gb.num_active)
+    np.testing.assert_array_equal(np.asarray(ga.block_coords),
+                                  np.asarray(gb.block_coords))
+    np.testing.assert_allclose(np.asarray(gb.weight), np.asarray(ga.weight),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb.dist), np.asarray(ga.dist),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gb.grad), np.asarray(ga.grad),
+                               rtol=1e-4, atol=1e-5)
+
+    vis_a = jnp.zeros(ga.dist.shape + (2,), jnp.uint32)
+    vis_b = jnp.zeros(gb.dist.shape + (2,), jnp.uint32)
+    R, t = make_pose(3)
+    depth = synth.render_depth(world, jnp.asarray(R), jnp.asarray(t), K, W, H)
+    _, va = fusion.fuse_frame(ga, depth, cache, jnp.asarray(R), jnp.asarray(t),
+                              GCFG, f_full, vis=vis_a, kf_slot=jnp.int32(5))
+    _, vb = fusion.fuse_frame(gb, depth, cache, jnp.asarray(R), jnp.asarray(t),
+                              GCFG, f_chunk, vis=vis_b, kf_slot=jnp.int32(5))
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+
+def test_median_blur_depth_option(world, cache):
+    """FusionConfig.median_blur_depth pre-filters the sampled depth (the
+    reference's intended-but-dead cv::medianBlur, MapGradPixelSdf.cpp:53)."""
+    f_med = FusionConfig(trunc_voxels=5.0, median_blur_depth=True)
+    R, t = make_pose(0)
+    depth = synth.render_depth(world, jnp.asarray(R), jnp.asarray(t), K, W, H)
+    # salt a single pixel with extreme depth noise: median kills it
+    noisy = depth.at[24, 32].set(3.4)
+    ga = fusion.fuse_frame(vg.create(GCFG), noisy, cache, jnp.asarray(R),
+                           jnp.asarray(t), GCFG, f_med)
+    gb = fusion.fuse_frame(vg.create(GCFG), noisy, cache, jnp.asarray(R),
+                           jnp.asarray(t), GCFG, FCFG)
+    # the outlier allocates a far block without the median (normals window
+    # rejects some neighborhood either way); with it, no 3.4 m geometry
+    vox_a = vg.block_local_to_voxel(
+        ga.block_coords[: int(ga.num_active)], GCFG).reshape(-1, 3)
+    w_a = np.asarray(ga.weight[: int(ga.num_active)]).reshape(-1)
+    pts_a = np.asarray(vox_a) * GCFG.voxel_size
+    r_a = np.linalg.norm(pts_a[w_a > 0] - np.asarray(t), axis=-1)
+    assert r_a.max() < 2.5  # scene sits ~1.5 m from the camera

@@ -1,0 +1,88 @@
+"""Long noisy-trajectory tracking regression: the repo equivalent of the
+reference's 90-frame synthetic-spheres protocol (matlab/RenderSpheres.m +
+add_kinect_noise.m + poses.txt) and its external TUM-ATE evaluation.
+
+Tracks a 60-frame orbit with disparity-domain Kinect noise + 16-bit depth
+quantization (data/synth.py mirrors add_kinect_noise.m:50-74), fusing only
+converged frames, then gates on ATE RMSE — the drift bound that CI holds.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gradient_sdf_tpu.config import FusionConfig, GridConfig, TrackerConfig
+from gradient_sdf_tpu.data import synth
+from gradient_sdf_tpu.models import tracker
+from gradient_sdf_tpu.ops import fusion, normals
+from gradient_sdf_tpu.ops import voxel_grid as vg
+from gradient_sdf_tpu.utils import ate
+
+W, H = 160, 120
+K = np.array([[132.0, 0, 79.5], [0, 132.0, 59.5], [0, 0, 1]], dtype=np.float32)
+GCFG = GridConfig(voxel_size=0.02, num_blocks=8192)
+FCFG = FusionConfig(trunc_voxels=5.0)
+# sampling=2 is the Scan3D default stride; the 1e-3 convergence threshold is
+# calibrated for dense 640x480 input (RigidOptimizer.h:72) — at this test's
+# 160x120 the GN noise floor on Kinect-noised depth sits near ||xi|| ~ 4e-3,
+# so the flag (which gates fusion) is scaled accordingly
+TCFG = TrackerConfig(sampling=2, conv_threshold=5e-3)
+N_FRAMES = 60
+
+
+def test_noisy_long_sequence_ate():
+    world = synth.SphereWorld(
+        centers=jnp.asarray(
+            [[0.0, 0.0, 0.0], [0.3, 0.25, -0.1], [-0.3, 0.1, 0.2],
+             [0.1, -0.3, 0.15]], jnp.float32),
+        radii=jnp.asarray([0.25, 0.14, 0.12, 0.16], jnp.float32),
+    )
+    cache = normals.build_cache(W, H, K, window=5)
+    # a third of a full orbit over 60 frames: ~2 deg inter-frame rotation,
+    # comparable to the reference's matlab spiral
+    poses = synth.orbit_poses(n=N_FRAMES, radius=1.3, arc=2.0 * np.pi / 3.0)
+    key = jax.random.PRNGKey(7)
+
+    render = jax.jit(lambda R, t: synth.render_depth(world, R, t, K, W, H))
+    track = jax.jit(
+        lambda g, d, R, t: tracker.track_frame(
+            g, d, jnp.asarray(K), R, t, GCFG, FCFG, TCFG
+        )
+    )
+    fuse = jax.jit(
+        lambda g, d, R, t: fusion.fuse_frame(g, d, cache, R, t, GCFG, FCFG)
+    )
+
+    def noisy(depth, key):
+        d = synth.add_kinect_noise(depth, key)
+        return synth.quantize_depth(d)
+
+    grid = vg.create(GCFG)
+    R_cur = jnp.asarray(poses[0][0])
+    t_cur = jnp.asarray(poses[0][1])
+    est, gt = [], []
+    n_unconverged = 0
+    for i in range(N_FRAMES):
+        R_gt, t_gt = poses[i]
+        key, sub = jax.random.split(key)
+        depth = noisy(render(jnp.asarray(R_gt), jnp.asarray(t_gt)), sub)
+        if i == 0:
+            grid = fuse(grid, depth, R_cur, t_cur)
+        else:
+            res = track(grid, depth, R_cur, t_cur)
+            R_cur, t_cur = res.R, res.t
+            if bool(res.converged):
+                grid = fuse(grid, depth, R_cur, t_cur)
+            else:
+                n_unconverged += 1
+        est.append((0.1 * i, np.asarray(t_cur)))
+        gt.append((0.1 * i, np.asarray(t_gt)))
+
+    assert not bool(grid.overflow)
+    # noisy small-res frames hover around the convergence flag; what matters
+    # is that enough frames fuse for the map to stay locked
+    assert n_unconverged <= N_FRAMES // 2
+    res = ate.evaluate_ate(est, gt)
+    assert res is not None and res.num_pairs == N_FRAMES
+    # drift bound: ~1.5 voxels RMSE over a 60-frame noisy third-orbit
+    assert res.rmse < 0.03, f"ATE regression: {res.rmse:.4f} m"

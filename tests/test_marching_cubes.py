@@ -44,14 +44,13 @@ def test_tables_triangle_edges_are_cut():
 
 
 def _sphere_grid(radius=0.12, vs=0.02, extent=0.2):
-    gcfg = GridConfig(voxel_size=vs, num_blocks=512, table_size=2048)
+    gcfg = GridConfig(voxel_size=vs, num_blocks=512)
     grid = vg.create(gcfg)
     n = int(extent / vs)
     r = np.arange(-n, n + 1, dtype=np.int32)
     vox = np.stack(np.meshgrid(r, r, r, indexing="ij"), axis=-1).reshape(-1, 3)
     grid = vg.ensure_blocks(
         grid, jnp.asarray(vox), jnp.ones(len(vox), bool), gcfg,
-        max_unique=512,
     )
     lin, present = vg.lookup_voxels(grid, jnp.asarray(vox), gcfg)
     assert np.all(np.asarray(present))

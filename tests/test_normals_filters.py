@@ -62,13 +62,18 @@ def test_median_blur_matches_numpy():
     np.testing.assert_allclose(got, exp, atol=1e-6)
 
 
-def test_bilinear_sample_interior_and_bounds():
-    img = jnp.asarray(np.arange(12, dtype=np.float32).reshape(3, 4))
-    uv = jnp.asarray([[1.5, 1.0], [0.0, 0.0], [3.0, 2.0], [3.5, 1.0], [-0.1, 0.0]])
-    vals, inb = filters.bilinear_sample(img, uv)
-    vals = np.asarray(vals)
+def test_bilinear_sample_interior_bounds_and_gradient():
+    img = jnp.asarray(
+        np.arange(12, dtype=np.float32).reshape(3, 4, 1)
+    )
+    u = jnp.asarray([1.5, 0.0, 2.9, 4.0, -0.1])
+    v = jnp.asarray([1.0, 0.0, 1.9, 1.0, 0.0])
+    vals, dAdu, dAdv, inb = filters.bilinear_sample_grad(img, u, v)
+    vals = np.asarray(vals)[:, 0]
     assert abs(vals[0] - 5.5) < 1e-5   # between (1,1)=5 and (1,2)=6
     assert abs(vals[1]) < 1e-6
-    assert abs(vals[2] - 11.0) < 1e-4
-    inb = np.asarray(inb)
-    assert list(inb) == [True, True, True, False, False]
+    # in-bounds test is 0 <= u < W (reference PhotometricOptimizer.cpp:176-178)
+    assert list(np.asarray(inb)) == [True, True, True, False, False]
+    # analytic gradient of img(v,u) = 4v + u: dA/du = 1, dA/dv = 4
+    np.testing.assert_allclose(np.asarray(dAdu)[:3, 0], 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dAdv)[:3, 0], 4.0, atol=1e-5)

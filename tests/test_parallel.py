@@ -15,7 +15,7 @@ from gradient_sdf_tpu.data import synth
 
 W, H = 64, 48
 K = np.array([[52.5, 0, 31.5], [0, 52.5, 23.5], [0, 0, 1]], dtype=np.float32)
-GCFG = GridConfig(voxel_size=0.02, num_blocks=2048, table_size=8192)
+GCFG = GridConfig(voxel_size=0.02, num_blocks=2048)
 FCFG = FusionConfig(trunc_voxels=5.0)
 
 pytestmark = pytest.mark.skipif(

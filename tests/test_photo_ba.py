@@ -11,7 +11,7 @@ from gradient_sdf_tpu.utils import se3
 
 W, H = 64, 48
 K = np.array([[60.0, 0, 31.5], [0, 60.0, 23.5], [0, 0, 1]], dtype=np.float32)
-GCFG = GridConfig(voxel_size=0.02, num_blocks=512, table_size=2048)
+GCFG = GridConfig(voxel_size=0.02, num_blocks=512)
 PCFG = PhotoBAConfig(max_iterations=10)
 
 
@@ -119,7 +119,7 @@ def test_write_back_dist_roundtrip():
     problem, state, _ = _make_plane_problem(F=2, V=32, seed=4)
     grid = vg.create(GCFG)
     V = problem.vox.shape[0]
-    grid = vg.ensure_blocks(grid, problem.vox, jnp.ones(V, bool), GCFG, 256)
+    grid = vg.ensure_blocks(grid, problem.vox, jnp.ones(V, bool), GCFG)
     state = state._replace(dist=jnp.arange(V, dtype=jnp.float32) * 1e-3)
     grid = photo_ba.write_back_dist(grid, problem, state, GCFG)
     lin, present = vg.lookup_voxels(grid, problem.vox, GCFG)

@@ -5,7 +5,7 @@ from gradient_sdf_tpu.config import GridConfig, FusionConfig
 from gradient_sdf_tpu.ops import voxel_grid as vg
 from gradient_sdf_tpu.ops import query
 
-GCFG = GridConfig(voxel_size=0.05, num_blocks=256, table_size=1024)
+GCFG = GridConfig(voxel_size=0.05, num_blocks=256)
 FCFG = FusionConfig(trunc_voxels=5.0)
 
 
@@ -13,7 +13,7 @@ def _grid_with(vox, dist, weight, grad=None):
     grid = vg.create(GCFG)
     vox = np.asarray(vox, np.int32)
     grid = vg.ensure_blocks(grid, jnp.asarray(vox), jnp.ones(len(vox), bool),
-                            GCFG, max_unique=256)
+                            GCFG)
     lin, present = vg.lookup_voxels(grid, jnp.asarray(vox), GCFG)
     assert np.all(np.asarray(present))
     lin = np.asarray(lin)

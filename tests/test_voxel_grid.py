@@ -84,7 +84,7 @@ def test_ensure_blocks_from_voxels():
     voxels = rng.randint(-40, 40, size=(5000, 3)).astype(np.int32)
     valid = np.ones(5000, dtype=bool)
     valid[::7] = False
-    grid = vg.ensure_blocks(grid, jnp.asarray(voxels), jnp.asarray(valid), CFG, max_unique=2048)
+    grid = vg.ensure_blocks(grid, jnp.asarray(voxels), jnp.asarray(valid), CFG)
     lin, present = vg.lookup_voxels(grid, jnp.asarray(voxels), CFG)
     present = np.asarray(present)
     assert np.all(present[valid])
