@@ -67,6 +67,7 @@ class FrameSamples(NamedTuple):
     wn_x: jax.Array       # f32 [N] w * (R n)_x
     wn_y: jax.Array
     wn_z: jax.Array
+    oob: jax.Array        # int32 [] valid samples outside the directory range
 
 
 class FrameRays(NamedTuple):
@@ -176,6 +177,10 @@ def _ray_samples(
     lz = vi_z - bz * b
     local_lin = (lz * b + ly) * b + lx
     keys = vg.pack_key_xyz(bx, by, bz, gcfg)
+    # valid samples whose block lies outside the directory's world range are
+    # dropped THIS frame but counted so the driver can grow the directory
+    # (vg.grow_directory) — the reference's map is unbounded
+    oob = jnp.sum(((keys < 0) & (w > 0.0)).astype(jnp.int32))
     keys = jnp.where(w > 0.0, keys, vg.EMPTY_KEY)
 
     return FrameSamples(
@@ -186,6 +191,7 @@ def _ray_samples(
         wn_x=(w * rn_x[:, None]).reshape(-1),
         wn_y=(w * rn_y[:, None]).reshape(-1),
         wn_z=(w * rn_z[:, None]).reshape(-1),
+        oob=oob,
     )
 
 
@@ -264,6 +270,7 @@ def _integrate_samples(grid, s: FrameSamples, gcfg, accumulate_gradients,
         return g, slot0
 
     grid, slot = jax.lax.cond(jnp.any(need), _with_insert, _no_insert, grid)
+    grid = grid._replace(oob_samples=grid.oob_samples + s.oob)
 
     grid, lin, ok = _apply_samples(grid, s, slot, gcfg, accumulate_gradients)
 

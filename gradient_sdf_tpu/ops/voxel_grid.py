@@ -67,6 +67,11 @@ class VoxelGrid(NamedTuple):
     coarse_occ: jax.Array   # int32 [(dir_dim/4)^3]
     num_active: jax.Array   # int32 [], allocated block count
     overflow: jax.Array     # bool [], sticky capacity-overflow flag
+    # samples that fell outside the directory's world range (the reference
+    # hash map is unbounded, MapGradPixelSdf.h:65-68; our directory is not —
+    # fusion counts the loss and the driver grows the directory episodically,
+    # see grow_directory)
+    oob_samples: jax.Array  # int32 [], sticky out-of-range sample counter
     # block store (SoA), voxel-linearized x-fastest within each block.
     # gradient components are separate scalar fields: a [.., 3] array forces
     # 3-wide-minor-axis gathers in the hot queries (PERF_NOTES.md)
@@ -101,6 +106,7 @@ def create(cfg: GridConfig) -> VoxelGrid:
         coarse_occ=jnp.zeros((c3,), dtype=jnp.int32),
         num_active=jnp.zeros((), dtype=jnp.int32),
         overflow=jnp.zeros((), dtype=bool),
+        oob_samples=jnp.zeros((), dtype=jnp.int32),
         block_coords=jnp.zeros((nb, 3), dtype=jnp.int32),
         dist=jnp.zeros((nb, vpb), dtype=jnp.float32),
         weight=jnp.zeros((nb, vpb), dtype=jnp.float32),
@@ -346,6 +352,51 @@ def grow(grid: VoxelGrid, cfg: GridConfig, factor: int = 2):
         grad_y=ext(grid.grad_y),
         grad_z=ext(grid.grad_z),
         overflow=jnp.zeros((), bool),
+    )
+    return big, new_cfg
+
+
+def grow_directory(grid: VoxelGrid, cfg: GridConfig, factor: int = 2):
+    """Return (grid, cfg) with the directory's world range scaled by
+    `factor` (dir_dim doubled by default -> representable volume 8x).
+
+    The reference's hash map is unbounded (`MapGradPixelSdf.h:65-68`); the
+    dense directory is not, so fusion counts valid samples that fall outside
+    (`oob_samples`) and the driver calls this between frames. Block storage
+    and slot ids are untouched — only the spatial index is rebuilt from
+    `block_coords` (one scatter), plus the coarse occupancy mip. Memory:
+    dir_dim^3 * 4 B (256^3 = 67 MB, 512^3 = 536 MB — cap growth around
+    there and accept range loss beyond, like any bounded-world system).
+    """
+    import dataclasses
+
+    new_cfg = dataclasses.replace(cfg, dir_dim=cfg.dir_dim * factor)
+    D = new_cfg.dir_dim
+    d3 = D**3
+    C = D // COARSE_FACTOR
+    nb = grid.num_blocks
+    slots = jnp.arange(nb, dtype=jnp.int32)
+    active = slots < grid.num_active
+
+    keys = pack_key(grid.block_coords, new_cfg)
+    keys = jnp.where(active, keys, d3)
+    directory = jnp.full((d3,), EMPTY_KEY, jnp.int32).at[keys].set(
+        slots, mode="drop"
+    )
+
+    half = C // 2
+    cx = jnp.floor_divide(grid.block_coords[:, 0], COARSE_FACTOR) + half
+    cy = jnp.floor_divide(grid.block_coords[:, 1], COARSE_FACTOR) + half
+    cz = jnp.floor_divide(grid.block_coords[:, 2], COARSE_FACTOR) + half
+    ckey = (cx * C + cy) * C + cz
+    coarse = jnp.zeros((C * C * C,), jnp.int32).at[
+        jnp.where(active, ckey, C * C * C)
+    ].max(1, mode="drop")
+
+    big = grid._replace(
+        directory=directory,
+        coarse_occ=coarse,
+        oob_samples=jnp.zeros((), jnp.int32),
     )
     return big, new_cfg
 

@@ -36,6 +36,7 @@ from .mesh import BLOCK_AXIS, RAY_AXIS
 def _grid_spec_replicated():
     return vg.VoxelGrid(
         directory=P(), coarse_occ=P(), num_active=P(), overflow=P(),
+        oob_samples=P(),
         block_coords=P(), dist=P(), weight=P(),
         grad_x=P(), grad_y=P(), grad_z=P(),
     )
@@ -113,6 +114,7 @@ def sharded_fuse_frame(mesh, grid, depth, cache, R, t, gcfg, fcfg):
     s = fusion_mod._sample_frame(depth, normals_img, cache, R, t, gcfg, fcfg)
 
     grid = vg.insert_keys(grid, s.keys, gcfg)
+    grid = grid._replace(oob_samples=grid.oob_samples + s.oob)
 
     n_dev = mesh.devices.size
     pad = (-s.keys.shape[0]) % n_dev
@@ -125,6 +127,7 @@ def sharded_fuse_frame(mesh, grid, depth, cache, R, t, gcfg, fcfg):
             wn_x=jnp.pad(s.wn_x, (0, pad)),
             wn_y=jnp.pad(s.wn_y, (0, pad)),
             wn_z=jnp.pad(s.wn_z, (0, pad)),
+            oob=s.oob,
         )
 
     nvox = grid.num_blocks * grid.voxels_per_block

@@ -33,6 +33,7 @@ def save_state(path: str, grid: vg.VoxelGrid, *, vis=None, counter: int = 0,
         "coarse_occ": np.asarray(grid.coarse_occ),
         "num_active": np.asarray(grid.num_active),
         "overflow": np.asarray(grid.overflow),
+        "oob_samples": np.asarray(grid.oob_samples),
         "block_coords": np.asarray(grid.block_coords),
         "dist": np.asarray(grid.dist),
         "weight": np.asarray(grid.weight),
@@ -63,6 +64,8 @@ def load_state(path: str):
         coarse_occ=jnp.asarray(z["coarse_occ"]),
         num_active=jnp.asarray(z["num_active"]),
         overflow=jnp.asarray(z["overflow"]),
+        oob_samples=jnp.asarray(z["oob_samples"])
+        if "oob_samples" in z else jnp.zeros((), jnp.int32),
         block_coords=jnp.asarray(z["block_coords"]),
         dist=jnp.asarray(z["dist"]),
         weight=jnp.asarray(z["weight"]),

@@ -210,3 +210,60 @@ def test_median_blur_depth_option(world, cache):
     pts_a = np.asarray(vox_a) * GCFG.voxel_size
     r_a = np.linalg.norm(pts_a[w_a > 0] - np.asarray(t), axis=-1)
     assert r_a.max() < 2.5  # scene sits ~1.5 m from the camera
+
+
+def test_fusion_beyond_world_range_counts_and_recovers():
+    """Geometry outside the directory's world range is counted
+    (grid.oob_samples) and integrates after vg.grow_directory — no silent
+    loss (reference equivalence: unbounded map, MapGradPixelSdf.h:65-68)."""
+    import dataclasses
+
+    gcfg = dataclasses.replace(GCFG, dir_dim=16)  # +-1.28 m world range
+    # sphere at 2 m: every surface sample is out of range
+    far_world = synth.SphereWorld(
+        centers=jnp.asarray([[0.0, 0.0, 2.0]], jnp.float32),
+        radii=jnp.asarray([0.3], jnp.float32),
+    )
+    cache2 = normals.build_cache(W, H, K, window=5)
+    R = jnp.eye(3, dtype=jnp.float32)
+    t = jnp.zeros(3, jnp.float32)
+    depth = synth.render_depth(far_world, R, t, K, W, H)
+
+    grid = vg.create(gcfg)
+    grid = fusion.fuse_frame(grid, depth, cache2, R, t, gcfg, FCFG)
+    assert int(grid.oob_samples) > 1000
+    assert int(grid.num_active) == 0
+
+    grid, gcfg = vg.grow_directory(grid, gcfg)  # +-2.56 m
+    assert int(grid.oob_samples) == 0
+    grid = fusion.fuse_frame(grid, depth, cache2, R, t, gcfg, FCFG)
+    assert int(grid.oob_samples) == 0
+    assert int(grid.num_active) > 10
+
+
+def test_grad_sdf_map_auto_grows_directory():
+    """GradSdfMap.update grows the directory when a frame reports
+    out-of-range samples."""
+    from gradient_sdf_tpu import config as cfg_mod
+    from gradient_sdf_tpu.models.grad_sdf import GradSdfMap
+    import dataclasses
+
+    cfg = cfg_mod.PipelineConfig()
+    cfg = dataclasses.replace(
+        cfg,
+        grid=dataclasses.replace(cfg.grid, voxel_size=0.02, num_blocks=2048,
+                                 dir_dim=16),
+    )
+    far_world = synth.SphereWorld(
+        centers=jnp.asarray([[0.0, 0.0, 2.0]], jnp.float32),
+        radii=jnp.asarray([0.3], jnp.float32),
+    )
+    R = np.eye(3, dtype=np.float32)
+    t = np.zeros(3, np.float32)
+    depth = synth.render_depth(far_world, jnp.asarray(R), jnp.asarray(t), K, W, H)
+    m = GradSdfMap(cfg)
+    m.update(depth, K, (jnp.asarray(R), jnp.asarray(t)))
+    assert m.cfg.grid.dir_dim == 32          # grew after the first frame
+    m.update(depth, K, (jnp.asarray(R), jnp.asarray(t)))
+    assert int(m.grid.num_active) >= 4       # second frame integrates
+    assert int(m.grid.oob_samples) == 0

@@ -178,3 +178,39 @@ def test_coarse_occupancy_superset():
     # a far empty region reads unoccupied
     far = jnp.asarray([[3.0, 3.0, 3.0]], jnp.float32)
     assert not bool(vg.lookup_coarse(grid, far, CFG)[0])
+
+
+def test_grow_directory_preserves_map_and_extends_range():
+    """vg.grow_directory doubles the world range; existing lookups and
+    coarse occupancy survive, and previously out-of-range keys resolve."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, dir_dim=16)  # tiny range for the test
+    grid = vg.create(cfg)
+    vox_in = np.array([[0, 0, 0], [10, -5, 3], [-20, 17, 30]], np.int32)
+    grid = vg.ensure_blocks(grid, jnp.asarray(vox_in),
+                            jnp.ones(len(vox_in), bool), cfg)
+    na0 = int(grid.num_active)
+    lin0, pres0 = vg.lookup_voxels(grid, jnp.asarray(vox_in), cfg)
+    assert np.all(np.asarray(pres0))
+
+    # beyond +-16/2*8 = +-64 voxels: unmappable in the small directory
+    vox_out = np.array([[100, 0, 0], [-90, 40, 70]], np.int32)
+    block, _ = vg.voxel_to_block(jnp.asarray(vox_out), cfg)
+    assert np.all(np.asarray(vg.pack_key(block, cfg)) == -1)
+
+    grid2, cfg2 = vg.grow_directory(grid, cfg)
+    assert cfg2.dir_dim == 32
+    assert int(grid2.num_active) == na0
+    # same slots resolve for old voxels
+    lin2, pres2 = vg.lookup_voxels(grid2, jnp.asarray(vox_in), cfg2)
+    np.testing.assert_array_equal(np.asarray(lin2), np.asarray(lin0))
+    # coarse occupancy still covers every allocated block
+    from gradient_sdf_tpu.ops.voxel_grid import COARSE_FACTOR
+    pts = vg.voxel_to_point(jnp.asarray(vox_in), cfg2.voxel_size)
+    assert np.all(np.asarray(vg.lookup_coarse(grid2, pts, cfg2)))
+    # the previously unmappable voxels now insert fine
+    grid2 = vg.ensure_blocks(grid2, jnp.asarray(vox_out),
+                             jnp.ones(len(vox_out), bool), cfg2)
+    _, pres3 = vg.lookup_voxels(grid2, jnp.asarray(vox_out), cfg2)
+    assert np.all(np.asarray(pres3))
