@@ -92,6 +92,7 @@ def run_photoba(args) -> dict:
     pose_entries = []
     keyframes = []  # list of dicts: frame, stamp, image, pose, slot
     invalid_frames = []
+    suppressed_keyframes = 0  # keyframe-worthy frames past the slot cap
     dist_to_last_kf = 0
     last = None if args.last < 0 else args.last + 1
 
@@ -118,10 +119,26 @@ def run_photoba(args) -> dict:
             T.toc("Point optimization")
             R_cur, t_cur = res.R, res.t
             if bool(res.converged):
-                is_kf = (
+                wants_kf = (
                     sharpness.sharp_detector(frame.color, sharp_thr)
                     or dist_to_last_kf > cfg.photo_ba.keyframe_gap
-                ) and len(keyframes) < cfg.photo_ba.max_recorded_keyframes
+                )
+                # visibility bitfield has max_recorded_keyframes slots (the
+                # reference records per-frame visibility unboundedly,
+                # MapGradPixelSdf.h:70); warn loudly when the cap bites so
+                # long sequences aren't silently truncated
+                is_kf = wants_kf and (
+                    len(keyframes) < cfg.photo_ba.max_recorded_keyframes
+                )
+                if wants_kf and not is_kf:
+                    suppressed_keyframes += 1
+                    if suppressed_keyframes == 1:
+                        print(
+                            f"WARNING: keyframe slot cap "
+                            f"({cfg.photo_ba.max_recorded_keyframes}) reached "
+                            f"at frame {i}; later keyframes are not recorded "
+                            f"(raise PhotoBAConfig.max_recorded_keyframes)"
+                        )
                 slot = len(keyframes) if is_kf else -1
                 T.tic()
                 sdf_map.update(depth, K, (R_cur, t_cur), kf_slot=slot)
@@ -200,6 +217,7 @@ def run_photoba(args) -> dict:
     metrics = {
         "keyframes": len(kfs),
         "invalid_frames": invalid_frames,
+        "suppressed_keyframes": suppressed_keyframes,
         "ba_converged": bool(converged),
         "ba_energies": opt.energies,
         "timers": T.summary(),

@@ -190,11 +190,8 @@ def solve_dist(problem: BAProblem, state: BAState, gcfg: GridConfig,
     return state._replace(dist=state.dist - step)
 
 
-def _pose_terms(problem: BAProblem, state: BAState, gcfg, pcfg):
-    """Shared pass for solve_pose variants: per-voxel counts/means plus a
-    function computing per-frame (A, Jc, valid)."""
-    x = _surface_points(problem, state.dist, gcfg.voxel_size)
-    gate = (jnp.abs(state.dist) <= gcfg.voxel_size) & problem.vmask
+def _make_frame_AJ(problem: BAProblem, x: jax.Array, gate: jax.Array, pcfg):
+    """Closure computing per-frame (A, Jc, valid) for given surface points."""
     trunc_gate = pcfg.loss == "trunc_l2"
     lambda_sq = pcfg.lambda_ * pcfg.lambda_
 
@@ -209,6 +206,16 @@ def _pose_terms(problem: BAProblem, state: BAState, gcfg, pcfg):
         right = jnp.einsum("vcd,vde->vce", dI_dp, sk)
         Jc = jnp.concatenate([left, right], axis=-1)
         return A, Jc, valid
+
+    return frame_AJ
+
+
+def _pose_terms(problem: BAProblem, state: BAState, gcfg, pcfg):
+    """Shared pass for solve_pose variants: per-voxel counts/means plus a
+    function computing per-frame (A, Jc, valid)."""
+    x = _surface_points(problem, state.dist, gcfg.voxel_size)
+    gate = (jnp.abs(state.dist) <= gcfg.voxel_size) & problem.vmask
+    frame_AJ = _make_frame_AJ(problem, x, gate, pcfg)
 
     # first pass: per-voxel N and mean
     def accum(carry, xs):
@@ -250,32 +257,87 @@ def solve_pose(problem: BAProblem, state: BAState, gcfg: GridConfig,
     return _apply_pose_delta(state, delta)
 
 
-def solve_pose_full(problem: BAProblem, state: BAState, gcfg: GridConfig,
-                    pcfg: PhotoBAConfig) -> BAState:
-    """Coupled 6Fx6F pose step (solvePoseFull, :392-496): diagonal blocks
-    (1 - 1/N_j) Jc_i^T Jc_i, cross blocks -1/N_j Jc_i1^T Jc_i2."""
+def _pose_full_system(problem: BAProblem, state: BAState, gcfg: GridConfig,
+                      pcfg: PhotoBAConfig, *, chunk: int = 8192):
+    """Assemble the coupled 6Fx6F system (solvePoseFull, :392-496):
+    diagonal blocks (1 - 1/N_j) Jc_i^T Jc_i, cross blocks
+    -1/N_j Jc_i1^T Jc_i2. Returns (Hfull [6F,6F], bfull [6F]).
+
+    The cross term needs all frames' Jacobians per voxel; materializing
+    [F, V, 3, 6] once would cost F*V*72 bytes (~4 GB at F=30, V=1e5 with
+    intermediates), so the voxel axis is scanned in `chunk`-sized slices:
+    per slice the [F, chunk, 3, 6] Jacobian block (a few MB) is built and
+    folded into the running (b [F,6], Hdiag [F,6,6], cross [F,F,6,6])
+    accumulators. The assembled system is chunk-size invariant (pure sums,
+    up to f32 summation order)."""
     frame_AJ, n, inv_n, mean_A, xs = _pose_terms(problem, state, gcfg, pcfg)
     F = problem.images.shape[0]
+    V = problem.vox.shape[0]
+    chunk = min(chunk, V)
+    pad = (-V) % chunk
+    C = (V + pad) // chunk
 
-    def per_frame(carry, xsi):
-        Ri, ti, img, vis_i, _ = xsi
-        A, Jc, valid = frame_AJ(Ri, ti, img, vis_i)
-        w = (valid & (n > 0)).astype(jnp.float32)
-        r = A - mean_A
-        b = jnp.einsum("v,vc,vce->e", w, r, Jc)
-        Hd = jnp.einsum("v,vce,vcf->ef", w, Jc, Jc)
-        return carry, (b, Hd, w[:, None, None] * Jc)
+    def padded(a):
+        if pad == 0:
+            return a
+        return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
 
-    _, (b, Hdiag, Jmasked) = jax.lax.scan(per_frame, None, xs)
-    # cross term: sum_j (1/N_j) J_i1^T J_i2 over channels
-    # Jmasked: [F, V, 3, 6] -> weight each voxel by 1/N_j
-    scaled = Jmasked * inv_n[None, :, None, None]
-    cross = jnp.einsum("avce,bvcf->abef", scaled, Jmasked)
+    # per-voxel slices reshaped to [C, chunk, ...]; the frame-indexed xs
+    # (poses, images) stay whole and are re-scanned per slice
+    vox_c = padded(problem.vox).reshape(C, chunk, 3)
+    grad_c = padded(problem.grad).reshape(C, chunk, 3)
+    vmask_c = padded(problem.vmask).reshape(C, chunk)
+    weight_c = padded(problem.weight).reshape(C, chunk)
+    vis_c = padded(problem.vis).reshape(C, chunk, F)
+    dist_c = padded(state.dist).reshape(C, chunk)
+    n_c = padded(n).reshape(C, chunk)
+    invn_c = padded(inv_n).reshape(C, chunk)
+    meanA_c = padded(mean_A).reshape(C, chunk, 3)
+
+    def chunk_body(carry, xc):
+        b_acc, hd_acc, cross_acc = carry
+        voxs, grads, vmasks, weights, viss, dists, ns, invns, means = xc
+        sub = BAProblem(vox=voxs, grad=grads, weight=weights, vmask=vmasks,
+                        vis=viss, images=problem.images, K=problem.K)
+        x_sub = _surface_points(sub, dists, gcfg.voxel_size)
+        gate_sub = (jnp.abs(dists) <= gcfg.voxel_size) & vmasks
+        sub_AJ = _make_frame_AJ(sub, x_sub, gate_sub, pcfg)
+
+        def per_frame(c2, xsi):
+            Ri, ti, img, vis_i, _ = xsi
+            A, Jc, valid = sub_AJ(Ri, ti, img, vis_i)
+            w = (valid & (ns > 0)).astype(jnp.float32)
+            r = A - means
+            b = jnp.einsum("v,vc,vce->e", w, r, Jc)
+            hd = jnp.einsum("v,vce,vcf->ef", w, Jc, Jc)
+            return c2, (b, hd, w[:, None, None] * Jc)
+
+        sub_xs = (state.R, state.t, problem.images,
+                  jnp.moveaxis(viss, 1, 0), jnp.arange(F))
+        _, (b, hd, Jm) = jax.lax.scan(per_frame, None, sub_xs)
+        cross = jnp.einsum("avce,v,bvcf->abef", Jm, invns, Jm)
+        return (b_acc + b, hd_acc + hd, cross_acc + cross), None
+
+    init = (jnp.zeros((F, 6)), jnp.zeros((F, 6, 6)), jnp.zeros((F, F, 6, 6)))
+    (b, Hdiag, cross), _ = jax.lax.scan(
+        chunk_body, init,
+        (vox_c, grad_c, vmask_c, weight_c, vis_c, dist_c, n_c, invn_c,
+         meanA_c),
+    )
     H = -cross
     diag_ix = jnp.arange(F)
     H = H.at[diag_ix, diag_ix].add(Hdiag)
     Hfull = H.transpose(0, 2, 1, 3).reshape(6 * F, 6 * F)
     bfull = b.reshape(6 * F)
+    return Hfull, bfull
+
+
+def solve_pose_full(problem: BAProblem, state: BAState, gcfg: GridConfig,
+                    pcfg: PhotoBAConfig, *, chunk: int = 8192) -> BAState:
+    """Coupled pose step: assemble the 6Fx6F system (voxel-chunked, see
+    _pose_full_system) and solve."""
+    F = problem.images.shape[0]
+    Hfull, bfull = _pose_full_system(problem, state, gcfg, pcfg, chunk=chunk)
     delta = jnp.linalg.solve(Hfull + 1e-9 * jnp.eye(6 * F), bfull).reshape(F, 6)
     return _apply_pose_delta(state, delta)
 

@@ -135,3 +135,47 @@ def test_coupled_pose_solver_decreases_energy():
     e1 = float(photo_ba.energy(problem, state2, GCFG))
     assert np.isfinite(e1)
     assert e1 < e0
+
+
+def test_solve_pose_full_chunk_invariant():
+    """The voxel-chunked cross-term accumulation (no [F,V,3,6]
+    materialization) assembles the same 6Fx6F system for any chunk size
+    (up to f32 summation order)."""
+    problem, state, _ = _make_plane_problem(pose_noise=2e-3)
+    V = problem.vox.shape[0]
+    H_all, b_all = photo_ba._pose_full_system(problem, state, GCFG, PCFG,
+                                              chunk=V)
+    scale_H = float(jnp.max(jnp.abs(H_all)))
+    scale_b = float(jnp.max(jnp.abs(b_all)))
+    for c in (64, 100):
+        Hc, bc = photo_ba._pose_full_system(problem, state, GCFG, PCFG,
+                                            chunk=c)
+        np.testing.assert_allclose(np.asarray(Hc), np.asarray(H_all),
+                                   atol=1e-5 * scale_H)
+        np.testing.assert_allclose(np.asarray(bc), np.asarray(b_all),
+                                   atol=1e-5 * scale_b)
+
+
+def test_solve_pose_full_at_scale_f30_v100k():
+    """VERDICT scale point: F=30, V~=1e5 coupled solve runs memory-bounded
+    (chunked; would need ~GBs with a materialized [F,V,3,6])."""
+    rng = np.random.RandomState(3)
+    F, V = 30, 100_352  # 98 chunks of 1024
+    W2 = H2 = 16  # tiny images: the test targets the cross-term memory path
+    problem = photo_ba.BAProblem(
+        vox=jnp.asarray(rng.randint(-40, 40, (V, 3)), jnp.int32),
+        grad=jnp.asarray(rng.randn(V, 3), jnp.float32),
+        weight=jnp.ones(V, jnp.float32),
+        vmask=jnp.ones(V, bool),
+        vis=jnp.asarray(rng.rand(V, F) < 0.4),
+        images=jnp.asarray(rng.rand(F, H2, W2, 3), jnp.float32),
+        K=jnp.asarray([[8.0, 0, 7.5], [0, 8.0, 7.5], [0, 0, 1]], jnp.float32),
+    )
+    state = photo_ba.BAState(
+        dist=jnp.asarray(rng.randn(V) * 0.005, jnp.float32),
+        R=jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (F, 1, 1))),
+        t=jnp.asarray(rng.randn(F, 3) * 0.01, jnp.float32),
+    )
+    out = photo_ba.solve_pose_full(problem, state, GCFG, PCFG, chunk=8192)
+    assert np.all(np.isfinite(np.asarray(out.R)))
+    assert np.all(np.isfinite(np.asarray(out.t)))
