@@ -1,14 +1,13 @@
-"""Pallas TPU kernels (placeholder).
+"""Pallas/Mosaic TPU kernels.
 
-A VMEM-resident hash-table lookup kernel was built and validated in
-interpret mode during round 1, but Mosaic cannot lower vectorized gathers
-from VMEM refs on this toolchain ("Cannot do int indexing on TPU",
-jax 0.9 `_canonicalize_transforms_to_indexer`), which also rules out the
-per-block image-patch fusion kernel. The voxel store was redesigned around
-that constraint instead (dense block directory — see ops/voxel_grid.py and
-PERF_NOTES.md). Revisit this package when Mosaic gains dynamic vector
-indexing; candidate kernels, in value order:
-  1. fused lookup+scatter fusion pass (table + accumulators in VMEM),
-  2. projective per-block fusion with DMA'd image patches,
-  3. hierarchical-DDA raycast marcher.
+Status (round 2): Mosaic cannot lower vectorized gathers/scatters from VMEM
+refs ("Cannot do int indexing on TPU"), which rules out the natural fused
+fusion/raycast kernels (PERF_NOTES.md). What IS expressible is scalar-driven
+row read-modify-write: `scatter_add.scatter_add_rows` implements the fusion
+scatter-add that way (dynamic sublane indexing + one-hot lane mask per
+sample) so the approach has a concrete measured number instead of a prose
+guess — see PERF_NOTES.md "Pallas scatter kernel" for the verdict and
+ops/pallas/scatter_add.py for the design constraints.
 """
+
+from . import scatter_add  # noqa: F401

@@ -1,21 +1,26 @@
 """Sharded tracking + fusion steps (shard_map over the device mesh).
 
-Parallelization of the two hot loops (SURVEY.md §3.1):
+Parallelization of the two hot loops (SURVEY.md §3.1), with the grid's
+per-voxel STORAGE resident-sharded over the `blocks` mesh axis: the
+dist/weight/grad fields live as [num_blocks/D_b, B^3] shards on each device
+(place once with `shard_grid`; fusion returns them sharded, so per-device
+persistent memory is 1/D_b of the volume). Index structures (directory,
+block_coords, counters) are small and replicated.
 
-  * Tracking residual pass: pixels are sharded over the `rays` axis; each
-    device runs the gather/VPU pass on its pixel shard against a replicated
-    grid and the (E, g, H, count) accumulators are `psum`-reduced over the
-    mesh — the SPMD analog of the reference's OpenMP custom reductions
+  * Tracking residual pass: pixels sharded over `rays`; block values are
+    NOT all-gathered — each device resolves the residuals whose voxel slot
+    falls in its resident block shard (owner-computes) and the
+    (E, g, H, count) accumulators are `psum`-reduced over BOTH axes — the
+    SPMD analog of the reference's OpenMP custom reductions
     (`RigidPointOptimizerOmp.cpp:41-69`). The 6x6 solve is replicated.
 
-  * Fusion: pixels sharded over `rays`; every device computes its shard's
-    per-voxel contributions (sum w, sum w*sdf, sum w*Rn) by local
-    scatter-add, then the contribution fields are `psum`(rays)-reduced and
-    the grid state update is elementwise. Across the `blocks` axis, grid
-    *storage* shards ZeRO-style: contributions are reduce-scattered so every
-    device only updates its block shard, and queries all-gather the shard —
-    both collectives ride ICI. Block-table insertion runs replicated on the
-    frame's unique keys (deterministic, identical on every device).
+  * Fusion: samples sharded over (rays x blocks); every device scatter-adds
+    its sample shard's contributions (sum w, sum w*sdf, sum w*Rn) into a
+    transient full-size accumulator, which is `psum`(rays)-reduced and
+    `psum_scatter`(blocks, tiled)-reduced so each device receives exactly
+    its block shard's contribution and merges it into its RESIDENT shard —
+    collectives ride ICI. Block-table insertion runs replicated
+    (deterministic claim insert, identical on every device).
 """
 
 from __future__ import annotations
@@ -33,32 +38,104 @@ from ..utils import se3
 from .mesh import BLOCK_AXIS, RAY_AXIS
 
 
-def _grid_spec_replicated():
+def grid_block_specs():
+    """PartitionSpec pytree for resident-sharded storage: per-voxel fields
+    sharded over the block axis, index structures replicated."""
+    bs = P(BLOCK_AXIS)
     return vg.VoxelGrid(
         directory=P(), coarse_occ=P(), num_active=P(), overflow=P(),
         oob_samples=P(),
-        block_coords=P(), dist=P(), weight=P(),
-        grad_x=P(), grad_y=P(), grad_z=P(),
+        block_coords=P(), dist=bs, weight=bs,
+        grad_x=bs, grad_y=bs, grad_z=bs,
     )
 
 
+def shard_grid(mesh, grid: vg.VoxelGrid) -> vg.VoxelGrid:
+    """Place the grid with block-sharded storage on `mesh` (call once;
+    sharded_fuse_frame keeps the placement, so the volume stays 1/D_b per
+    device across frames)."""
+    from jax.sharding import NamedSharding
+
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        grid, grid_block_specs(),
+    )
+
+
+def _owned_voxel_fields(grid_shard, pts, gcfg):
+    """Owner-computes query against the local block shard.
+
+    `grid_shard` is the per-device view inside shard_map: directory full
+    (replicated), per-voxel fields = this device's [nb/D_b, B^3] slice.
+    Returns (dist, weight, gx, gy, gz, owned) for points whose block slot
+    falls in the local shard; owned=False (zero fields) elsewhere — exactly
+    one device on the block axis owns each allocated voxel, so a
+    psum(BLOCK_AXIS) of any owned-masked quantity recovers the global one.
+    """
+    vi = vg.point_to_voxel(pts, gcfg.voxel_size)
+    block, local = vg.voxel_to_block(vi, gcfg)
+    keys = vg.pack_key(block, gcfg)
+    d3 = gcfg.dir_dim**3
+    slot = grid_shard.directory[jnp.clip(keys, 0, d3 - 1)]
+    slot = jnp.where(keys >= 0, slot, -1)
+
+    nb_local = grid_shard.dist.shape[0]
+    lo = jax.lax.axis_index(BLOCK_AXIS) * nb_local
+    owned = (slot >= lo) & (slot < lo + nb_local)
+    lin = jnp.where(owned, (slot - lo) * gcfg.voxels_per_block + local, 0)
+
+    dist = vg.flat_field(grid_shard.dist)[lin]
+    weight = vg.flat_field(grid_shard.weight)[lin]
+    gx = vg.flat_field(grid_shard.grad_x)[lin]
+    gy = vg.flat_field(grid_shard.grad_y)[lin]
+    gz = vg.flat_field(grid_shard.grad_z)[lin]
+    owned = owned & (weight > 0.0)
+    z = jnp.zeros_like(dist)
+    return (jnp.where(owned, dist, z), jnp.where(owned, weight, z),
+            jnp.where(owned, gx, z), jnp.where(owned, gy, z),
+            jnp.where(owned, gz, z), owned)
+
+
 def sharded_residual_pass(mesh, grid, points_cam, z_valid, R, t, gcfg, fcfg):
-    """(E, g, H, count) with pixels sharded over mesh axes; results replicated."""
+    """(E, g, H, count) with pixels sharded over the ray axis and the grid
+    resident-sharded over the block axis (owner-computes residual terms,
+    psum over both axes); results replicated."""
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(_grid_spec_replicated(), P((RAY_AXIS, BLOCK_AXIS)),
-                  P((RAY_AXIS, BLOCK_AXIS)), P(), P()),
+        in_specs=(grid_block_specs(), P(RAY_AXIS), P(RAY_AXIS), P(), P()),
         out_specs=(P(), P(), P(), P()),
     )
-    def pass_(grid, pts, zv, R, t):
-        E, g, H, cnt = tracker_mod._residual_pass(grid, pts, zv, R, t, gcfg, fcfg)
-        E = jax.lax.psum(E, (RAY_AXIS, BLOCK_AXIS))
-        g = jax.lax.psum(g, (RAY_AXIS, BLOCK_AXIS))
-        H = jax.lax.psum(H, (RAY_AXIS, BLOCK_AXIS))
-        cnt = jax.lax.psum(cnt, (RAY_AXIS, BLOCK_AXIS))
-        return E, g, H, cnt
+    def pass_(grid_shard, pts, zv, R, t):
+        pts_w = se3.se3_apply(R, t, pts)
+        dist, weight, gx, gy, gz, owned = _owned_voxel_fields(
+            grid_shard, pts_w, gcfg
+        )
+        valid = zv & owned
+        # semi-implicit query (query.tsdf_grad semantics, componentwise)
+        inv_norm = 1.0 / jnp.maximum(
+            jnp.sqrt(gx * gx + gy * gy + gz * gz), 1e-12
+        )
+        s = fcfg.grad_scale * inv_norm
+        vi = vg.point_to_voxel(pts_w, gcfg.voxel_size)
+        cmp = vi.astype(jnp.float32) * gcfg.voxel_size - pts_w
+        phi = dist + s * (gx * cmp[..., 0] + gy * cmp[..., 1]
+                          + gz * cmp[..., 2])
+        grad = jnp.stack([s * gx, s * gy, s * gz], axis=-1)
+        phi = jnp.where(valid, phi, 0.0)
+        grad = jnp.where(valid[..., None], grad, 0.0)
+
+        cross = jnp.cross(pts_w, grad)
+        J = jnp.concatenate([grad, cross], axis=-1)
+        E = jnp.sum(phi * phi)
+        g = jnp.sum(phi[..., None] * J, axis=0)
+        H = jnp.einsum("ni,nj->ij", J, J,
+                       precision=jax.lax.Precision.HIGHEST)
+        cnt = jnp.sum(valid.astype(jnp.int32))
+        axes = (RAY_AXIS, BLOCK_AXIS)
+        return (jax.lax.psum(E, axes), jax.lax.psum(g, axes),
+                jax.lax.psum(H, axes), jax.lax.psum(cnt, axes))
 
     return pass_(grid, points_cam, z_valid, R, t)
 
@@ -105,10 +182,15 @@ def sharded_track_frame(mesh, grid, depth, K, R0, t0, gcfg, fcfg, tcfg):
 
 
 def sharded_fuse_frame(mesh, grid, depth, cache, R, t, gcfg, fcfg):
-    """Fusion with ray-sharded sample generation + psum'd accumulators.
+    """Fusion with samples sharded over (rays x blocks) and the grid's
+    per-voxel storage RESIDENT-sharded over the block axis: the returned
+    grid keeps block-sharded dist/weight/grad (place the initial grid with
+    `shard_grid` and per-device volume memory stays 1/D_b across frames).
 
-    Block allocation runs replicated (deterministic); the contribution
-    scatter is local per device followed by a single psum over the mesh.
+    Block allocation runs replicated (deterministic claim insert); each
+    device scatter-adds its sample shard into a transient full-size
+    contribution buffer which psum(rays) + psum_scatter(blocks) reduces to
+    exactly the device's resident shard slice.
     """
     normals_img = fusion_mod.compute_normals(cache, depth)
     s = fusion_mod._sample_frame(depth, normals_img, cache, R, t, gcfg, fcfg)
@@ -136,44 +218,44 @@ def sharded_fuse_frame(mesh, grid, depth, cache, R, t, gcfg, fcfg):
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(_grid_spec_replicated(),) + (P((RAY_AXIS, BLOCK_AXIS)),) * 7,
-        out_specs=tuple(P(BLOCK_AXIS) for _ in range(5)),
+        in_specs=(grid_block_specs(),) + (P((RAY_AXIS, BLOCK_AXIS)),) * 7,
+        out_specs=grid_block_specs(),
     )
-    def accumulate(grid, keys, local_lin, w, wd, wnx, wny, wnz):
-        slot = vg.lookup_keys(grid, keys, gcfg)
+    def accumulate(grid_shard, keys, local_lin, w, wd, wnx, wny, wnz):
+        # slot lookup against the replicated directory; scatter into a
+        # TRANSIENT full-size accumulator (per-frame contribution), then
+        # psum(rays) + tiled psum_scatter(blocks) hands each device exactly
+        # its resident block shard's contribution slice
+        d3 = gcfg.dir_dim**3
+        slot = grid_shard.directory[jnp.clip(keys, 0, d3 - 1)]
+        slot = jnp.where(keys >= 0, slot, -1)
         ok = slot >= 0
         lin = jnp.where(ok, slot * vpb + local_lin, nvox)
         accs = []
         for vals in (w, wd, wnx, wny, wnz):
             a = jnp.zeros((nvox,), jnp.float32).at[lin].add(vals, mode="drop")
-            # rays axis: full reduction; blocks axis: reduce_scatter so each
-            # device keeps only its block shard of the contribution field
             a = jax.lax.psum(a, RAY_AXIS)
             a = jax.lax.psum_scatter(a, BLOCK_AXIS, tiled=True)
-            accs.append(a)
-        return tuple(accs)
+            accs.append(a.reshape(grid_shard.dist.shape))
+        w_acc, wd_acc, gx_acc, gy_acc, gz_acc = accs
 
-    w_acc, wd_acc, gx, gy, gz = accumulate(
+        # merge into the RESIDENT shard (stays sharded on the block axis)
+        new_weight = grid_shard.weight + w_acc
+        new_dist = jnp.where(
+            new_weight > 0.0,
+            (grid_shard.dist * grid_shard.weight + wd_acc)
+            / jnp.maximum(new_weight, 1e-30),
+            grid_shard.dist,
+        )
+        return grid_shard._replace(
+            dist=new_dist, weight=new_weight,
+            grad_x=grid_shard.grad_x + gx_acc,
+            grad_y=grid_shard.grad_y + gy_acc,
+            grad_z=grid_shard.grad_z + gz_acc,
+        )
+
+    return accumulate(
         grid, s.keys, s.local_lin, s.w, s.wd, s.wn_x, s.wn_y, s.wn_z
-    )
-    w_acc = w_acc.reshape(grid.dist.shape)
-    wd_acc = wd_acc.reshape(grid.dist.shape)
-    wn_acc = jnp.stack(
-        [gx.reshape(grid.dist.shape), gy.reshape(grid.dist.shape),
-         gz.reshape(grid.dist.shape)], axis=-1
-    )
-
-    new_weight = grid.weight + w_acc
-    new_dist = jnp.where(
-        new_weight > 0.0,
-        (grid.dist * grid.weight + wd_acc) / jnp.maximum(new_weight, 1e-30),
-        grid.dist,
-    )
-    return grid._replace(
-        dist=new_dist, weight=new_weight,
-        grad_x=grid.grad_x + wn_acc[..., 0],
-        grad_y=grid.grad_y + wn_acc[..., 1],
-        grad_z=grid.grad_z + wn_acc[..., 2],
     )
 
 

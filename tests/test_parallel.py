@@ -121,3 +121,39 @@ def test_sharded_photoba_step_matches_single_device():
     np.testing.assert_allclose(np.asarray(out_state.dist),
                                np.asarray(ref.dist), atol=2e-5)
     assert abs(float(e_par) - e_ref) < 1e-3 * max(e_ref, 1.0)
+
+
+def test_resident_block_sharding_persists(scene):
+    """Grid storage placed with shard_grid stays block-sharded through
+    fusion and matches the single-device result; per-device shard = 1/D_b
+    of the blocks (the ZeRO-style storage sharding of SURVEY §5.8)."""
+    world, cache, poses = scene
+    mesh = mesh_mod.make_mesh(8, block_parallel=4)
+    par = sharding.shard_grid(mesh, vg.create(GCFG))
+    ref = vg.create(GCFG)
+    for i in range(3):
+        R, t = poses[i]
+        depth = synth.render_depth(world, jnp.asarray(R), jnp.asarray(t), K, W, H)
+        ref = fusion.fuse_frame(ref, depth, cache, jnp.asarray(R),
+                                jnp.asarray(t), GCFG, FCFG)
+        par = sharding.sharded_fuse_frame(mesh, par, depth, cache,
+                                          jnp.asarray(R), jnp.asarray(t),
+                                          GCFG, FCFG)
+        rows = {s.data.shape[0] for s in par.dist.addressable_shards}
+        assert rows == {GCFG.num_blocks // 4}, rows  # still resident-sharded
+    np.testing.assert_allclose(np.asarray(par.weight), np.asarray(ref.weight),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(par.dist), np.asarray(ref.dist),
+                               rtol=1e-4, atol=1e-6)
+    # owner-computes tracking against the sharded volume == replicated
+    R, t = poses[1]
+    depth = synth.render_depth(world, jnp.asarray(R), jnp.asarray(t), K, W, H)
+    tcfg = TrackerConfig(num_iterations=4)
+    res = tracker.track_frame(ref, depth, jnp.asarray(K), jnp.asarray(R),
+                              jnp.asarray(t), GCFG, FCFG, tcfg)
+    Rp, tp, conv, iters = sharding.sharded_track_frame(
+        mesh, par, depth, jnp.asarray(K), jnp.asarray(R), jnp.asarray(t),
+        GCFG, FCFG, tcfg,
+    )
+    np.testing.assert_allclose(np.asarray(Rp), np.asarray(res.R), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(tp), np.asarray(res.t), atol=2e-5)
