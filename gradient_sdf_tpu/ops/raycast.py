@@ -3,39 +3,62 @@
 The reference has no renderer (tracking queries the SDF at backprojected
 depth pixels instead); this module adds the TPU-native rendering path the
 north star requires: depth/normal images rendered by sphere tracing the
-block-sparse gradient-SDF, fully vectorized over rays (one gather per step
-per ray). It is the Mrays/s benchmark kernel and the basis of
-rendered-depth parity checks against fused geometry.
+block-sparse gradient-SDF, fully vectorized over rays. It is the Mrays/s
+benchmark kernel and the basis of rendered-depth parity checks against
+fused geometry.
 
-March semantics: outside allocated blocks the field is unknown but — by
-construction of fusion (`MapGradPixelSdf.cpp:101-116`) — every point within
-truncation distance T of the surface is allocated, so an unallocated sample
-is at least T from the surface and the ray can safely advance by T. Inside
-the band, the semi-implicit value phi = dist + 1.2 ghat . (c - p) is a local
-distance estimate; steps are clamped to [step_min, T].
+Performance design (measured rationale in PERF_NOTES.md):
 
-Hierarchy (PERF_NOTES.md): empty space is skipped by DDA over block
-boundaries and over a coarse 4^3-block occupancy mip. On top of that,
-`render_depth_normal` runs a low-resolution *prior pass* first and marches
-each full-res ray only inside [min - margin, max + margin] of its coarse
-3x3 neighborhood's hit range (the min/max range-image technique of
-voxel-hashing raycasters); rays whose whole coarse neighborhood missed fall
-back to the full march, so only sub-coarse-pixel geometry can be skipped.
+  * Per march step exactly TWO random gathers: a transient combined
+    directory (slot >= 0 allocated; -1 unallocated-but-coarse-occupied;
+    -2 coarse-empty — the coarse occupancy mip is broadcast-upsampled into
+    the directory image once per render, no per-step third gather) and a
+    transient "march field" (voxel dist where observed else +inf).
+  * All per-ray state is carried as SEPARATE x/y/z component arrays —
+    [N, 3]-minor-axis math wastes 125/128 lanes per op on TPU and measurably
+    dominated the march loop (PERF_NOTES.md).
+  * March values are raw voxel `dist` — CONSTANT within each voxel — so
+    sign changes can only happen at voxel boundaries and the step is floored
+    by the DDA distance to the next voxel boundary (never skips a crossing);
+    this kills the dominant straggler class, tangent rays crawling through
+    the truncation band at step_min for >100 iterations.
+  * A `lax.while_loop` runs as long as its SLOWEST ray, so after a short
+    full-width burst the surviving rays are compacted (jnp.nonzero) into
+    successively smaller fixed-capacity buffers and marched there; a round
+    that would overflow its capacity falls back to full width (lax.cond)
+    rather than dropping rays. Bisection + the final polish run compacted
+    on the HIT rays only.
 
-Differentiability: the march itself is non-differentiable control flow
-(`lax.while_loop`), so the returned hit is re-expressed as one Newton step
+Empty-space hierarchy: outside allocated blocks the field is unknown but —
+by construction of fusion (`MapGradPixelSdf.cpp:101-116`) — every point
+within truncation distance T of the surface is allocated, so the ray may
+skip to the next block boundary (DDA), or to the next 4^3-block coarse-cell
+boundary where the coarse mip is empty. `render_depth_normal` additionally
+runs a low-resolution prior pass first and marches each full-res ray only
+inside [min - margin, max + margin] of its coarse 3x3 neighborhood's hit
+range (the min/max range-image technique); rays whose whole coarse
+neighborhood missed fall back to the full range, so only sub-coarse-pixel
+geometry can be skipped.
+
+Differentiability: the march itself is non-differentiable control flow, so
+the returned hit is re-expressed straight-through with one Newton/IFT step
 from the stop-gradient'ed bracket midpoint:
     s* = s0 - phi(o + s0 d) / (grad_phi . d),   s0 = stop_gradient(s_hit).
 At the root this is the implicit-function-theorem derivative: d s*/d theta
 = -(d phi/d theta)/(grad_phi . d) exactly, so depth gradients w.r.t. pose
 (through o, d) AND w.r.t. the grid fields (through the tsdf_grad gathers)
-flow without a custom VJP. Verified against finite differences in
-tests/test_raycast.py.
+flow without a custom VJP. Gradient subtlety: the semi-implicit field
+phi(p) = dist + s ghat.(c-p) is macroscopically increasing along the stored
+(inward) gradient — the SEMANTIC gradient the query returns, +s ghat — but
+its within-voxel sawtooth slope is -s ghat (c is the frozen voxel center),
+so naive autodiff through the query would flip the depth gradient's sign;
+the polish freezes the query point and reattaches spatial dependence as an
+explicit linearization with the semantic gradient. Verified against finite
+differences in tests/test_raycast.py.
 
 Sign convention (reference Sdf.h:76-85): the fused field is NEGATIVE in
 observed free space and positive behind the surface, so rays march while
-phi < 0 and a crossing is detected when phi turns >= 0, refined by
-fixed-count bisection.
+the field is < 0 and a crossing is detected when it turns >= 0.
 """
 
 from __future__ import annotations
@@ -57,16 +80,152 @@ class RaycastResult(NamedTuple):
     hit: jax.Array     # [N] bool
 
 
-def _phi_at(grid, pts, gcfg, fcfg):
-    phi, _, w = query.tsdf_grad(grid, pts, gcfg, fcfg)
-    present = w > 0.0
-    return phi, present
+class _Rays(NamedTuple):
+    """Componentwise ray bundle (all [N])."""
+
+    ox: jax.Array
+    oy: jax.Array
+    oz: jax.Array
+    dx: jax.Array
+    dy: jax.Array
+    dz: jax.Array
+    s_end: jax.Array
 
 
-def _dist_at(grid, pts, gcfg):
-    # lite march query: voxel dist shares phi's sign; no gradient gather
-    d, present, block_present = query.tsdf_lite(grid, pts, gcfg)
-    return d, present, block_present
+class _MarchState(NamedTuple):
+    s: jax.Array       # current ray parameter
+    s_prev: jax.Array  # previous sample (bracket low on crossing)
+    lo: jax.Array      # crossing bracket
+    hi: jax.Array
+    found: jax.Array   # bool
+
+
+def _render_fields(grid: vg.VoxelGrid, gcfg: GridConfig):
+    """Transient per-render lookup structures (one elementwise pass each):
+
+    * march [nvox]: voxel dist where observed, +inf else;
+    * dir2 [dir_dim^3]: slot >= 0 allocated, -1 empty-but-coarse-occupied,
+      -2 coarse-empty (coarse mip broadcast-upsampled to block resolution).
+    """
+    march = jnp.where(vg.flat_field(grid.weight) > 0.0,
+                      vg.flat_field(grid.dist), jnp.inf)
+    D = gcfg.dir_dim
+    F = vg.COARSE_FACTOR
+    C = D // F
+    occ = grid.coarse_occ.reshape(C, C, C)
+    occ_up = jnp.broadcast_to(
+        occ[:, None, :, None, :, None], (C, F, C, F, C, F)
+    ).reshape(-1)
+    dir2 = jnp.where(grid.directory >= 0, grid.directory,
+                     jnp.where(occ_up > 0, -1, -2))
+    return march, dir2
+
+
+def _march_probe(march, dir2, px, py, pz, gcfg):
+    """(value, observed, level) at component points — 2 random gathers.
+    level: >=0 observed/allocated handled via `observed`/`block_present`."""
+    inv_vs = 1.0 / gcfg.voxel_size
+    b = gcfg.block_shape
+    vx = jnp.round(px * inv_vs).astype(jnp.int32)
+    vy = jnp.round(py * inv_vs).astype(jnp.int32)
+    vz = jnp.round(pz * inv_vs).astype(jnp.int32)
+    bx = jnp.floor_divide(vx, b)
+    by = jnp.floor_divide(vy, b)
+    bz = jnp.floor_divide(vz, b)
+    local = ((vz - bz * b) * b + (vy - by * b)) * b + (vx - bx * b)
+    key = vg.pack_key_xyz(bx, by, bz, gcfg)
+    d3 = gcfg.dir_dim**3
+    entry = dir2[jnp.clip(key, 0, d3 - 1)]
+    entry = jnp.where(key >= 0, entry, -2)  # outside world = coarse-empty
+    block_present = entry >= 0
+    lin = jnp.where(block_present, entry, 0) * gcfg.voxels_per_block + local
+    val = march[lin]
+    observed = block_present & jnp.isfinite(val)
+    coarse_occ = entry >= -1
+    return jnp.where(observed, val, 0.0), observed, block_present, coarse_occ
+
+
+def _dda_axis(p, d, cell, half_vox):
+    b = jnp.floor((p + half_vox) / cell)
+    bound = jnp.where(d > 0, (b + 1.0) * cell, b * cell)
+    return jnp.where(jnp.abs(d) > 1e-12, (bound - p - half_vox) / d, jnp.inf)
+
+
+def _dda(px, py, pz, dx, dy, dz, cell, half_vox, step_min):
+    """Distance along each ray to its next cell boundary of size `cell`.
+    Voxel i spans [i*vs - vs/2, i*vs + vs/2), so boundaries sit at
+    k*cell - vs/2 (handled by the +vs/2 shift)."""
+    out = _dda_axis(px, dx, cell, half_vox)
+    out = jnp.minimum(out, _dda_axis(py, dy, cell, half_vox))
+    out = jnp.minimum(out, _dda_axis(pz, dz, cell, half_vox))
+    out = jnp.where(out > 0, out, jnp.inf)
+    return jnp.maximum(out + 0.5 * step_min, step_min)
+
+
+def _march(march, dir2, rays: _Rays, state: _MarchState, max_steps: int,
+           gcfg: GridConfig, fcfg: FusionConfig):
+    """Advance rays until crossing/exhaustion, at most max_steps."""
+    T = fcfg.trunc_voxels * gcfg.voxel_size
+    vs = gcfg.voxel_size
+    step_min = 0.25 * vs
+    half_vox = 0.5 * vs
+    bs_m = gcfg.block_shape * vs
+    coarse_m = bs_m * vg.COARSE_FACTOR
+
+    def cond(carry):
+        k, st = carry
+        alive = ~st.found & (st.s <= rays.s_end)
+        return (k < max_steps) & jnp.any(alive)
+
+    def body(carry):
+        k, st = carry
+        px = rays.ox + st.s * rays.dx
+        py = rays.oy + st.s * rays.dy
+        pz = rays.oz + st.s * rays.dz
+        phi, observed, block_present, coarse_occ = _march_probe(
+            march, dir2, px, py, pz, gcfg
+        )
+        crossed = observed & (phi >= 0.0) & ~st.found
+        lo = jnp.where(crossed, st.s_prev, st.lo)
+        hi = jnp.where(crossed, st.s, st.hi)
+        found = st.found | crossed
+        # step policy (each level is a superset guarantee — an absent
+        # block/cell cannot contain the truncation band):
+        #  * observed voxel: sphere-trace with -phi (free space is negative),
+        #    floored by the voxel-boundary DDA (march values are constant
+        #    per voxel, so boundary sampling cannot skip a sign change)
+        #  * allocated block, unobserved voxel: cautious T step (band may
+        #    start one voxel ahead behind a shadow boundary)
+        #  * unallocated block in an occupied coarse cell: DDA to the next
+        #    block boundary
+        #  * coarse-empty 4^3-block cell: DDA to the next coarse boundary
+        dda_vox = _dda(px, py, pz, rays.dx, rays.dy, rays.dz,
+                       vs, half_vox, step_min)
+        step = jnp.where(
+            observed,
+            jnp.maximum(jnp.minimum(-phi, T), dda_vox),
+            jnp.where(
+                block_present,
+                T,
+                jnp.where(
+                    coarse_occ,
+                    _dda(px, py, pz, rays.dx, rays.dy, rays.dz,
+                         bs_m, half_vox, step_min),
+                    _dda(px, py, pz, rays.dx, rays.dy, rays.dz,
+                         coarse_m, half_vox, step_min),
+                ),
+            ),
+        )
+        s_new = jnp.where(found | (st.s > rays.s_end), st.s, st.s + step)
+        s_prev = jnp.where(found, st.s_prev, st.s)
+        return k + 1, _MarchState(s_new, s_prev, lo, hi, found)
+
+    _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+    return st
+
+
+def _gather_rays(rays: _Rays, idx) -> _Rays:
+    return _Rays(*(f[idx] for f in rays))
 
 
 def raycast(
@@ -80,133 +239,170 @@ def raycast(
     s_max: float = 5.0,
     s_lo: Optional[jax.Array] = None,   # [N] per-ray march window start
     s_hi: Optional[jax.Array] = None,   # [N] per-ray march window end
-    max_steps: int = 192,
-    bisect_steps: int = 8,
+    max_steps: int = 128,
+    bisect_steps: int = 5,
+    burst_steps: int = 12,
+    compact_divisors: tuple = (8, 64),
 ) -> RaycastResult:
     """Trace N rays; returns first zero crossing along each.
 
     `s_lo`/`s_hi` optionally bound each ray's march window (from a depth
-    prior); they default to the scalar [s_min, s_max]."""
-    T = fcfg.trunc_voxels * gcfg.voxel_size
-    step_min = 0.25 * gcfg.voxel_size
-
+    prior); they default to the scalar [s_min, s_max]. The burst of
+    `burst_steps` runs pre-compacted to N/2 when per-ray windows exist
+    (window-skipped rays never occupy march lanes); surviving rays then
+    continue in compacted buffers of N/divisor rays per entry of
+    `compact_divisors`. Any round that would overflow its capacity falls
+    back to full width rather than dropping rays."""
+    n = origins.shape[0]
     if s_lo is None:
-        s0 = jnp.full(origins.shape[:-1], s_min, jnp.float32)
+        s0 = jnp.full((n,), s_min, jnp.float32)
     else:
         s0 = jnp.maximum(s_lo, s_min)
     if s_hi is None:
-        s_end = jnp.full(origins.shape[:-1], s_max, jnp.float32)
+        s_end = jnp.full((n,), s_max, jnp.float32)
     else:
         s_end = jnp.minimum(s_hi, s_max)
 
-    def cond(carry):
-        k, s, s_prev, hit_lo, hit_hi, found = carry
-        alive = ~found & (s <= s_end)
-        return (k < max_steps) & jnp.any(alive)
+    march, dir2 = _render_fields(grid, gcfg)
+    rays = _Rays(
+        ox=origins[:, 0], oy=origins[:, 1], oz=origins[:, 2],
+        dx=dirs[:, 0], dy=dirs[:, 1], dz=dirs[:, 2], s_end=s_end,
+    )
+    state = _MarchState(s=s0, s_prev=s0, lo=s0, hi=s0,
+                        found=jnp.zeros((n,), bool))
 
-    bs_m = gcfg.block_shape * gcfg.voxel_size
-    coarse_m = bs_m * vg.COARSE_FACTOR
+    # round schedule: a burst (pre-compacted to N/2 when windows can
+    # exclude rays up front), then compacted straggler rounds — early
+    # rounds get short step budgets, the last (narrowest) round gets the
+    # remainder
+    divisors = tuple(d for d in compact_divisors if d > 1)
+    burst = min(burst_steps, max_steps) if divisors else max_steps
+    budget = max_steps - burst
+    windowed = s_lo is not None or s_hi is not None
+    schedule = [(burst, 8 / 3 if windowed else 1)]
+    for i, div in enumerate(divisors):
+        if i < len(divisors) - 1:
+            steps = min(burst_steps + 4 * (i + 1), budget)
+            budget -= steps
+        else:
+            steps = budget
+        schedule.append((steps, div))
 
-    half_vox = 0.5 * gcfg.voxel_size
+    for steps, div in schedule:
+        if steps <= 0:
+            continue
+        if div <= 1:
+            state = _march(march, dir2, rays, state, steps, gcfg, fcfg)
+            continue
+        cap = max(1, int(n / div))
+        alive = ~state.found & (state.s <= rays.s_end)
+        count = jnp.sum(alive.astype(jnp.int32))
+        (idx,) = jnp.nonzero(alive, size=cap, fill_value=0)
+        mask = jnp.arange(cap, dtype=jnp.int32) < count
 
-    def _dda(pts, cell):
-        # distance along the ray to the next cell boundary of size `cell`.
-        # voxel i spans [i*vs - vs/2, i*vs + vs/2), so cell boundaries sit at
-        # k*cell - vs/2: work in coordinates shifted by +vs/2
-        out = jnp.full(pts.shape[:-1], jnp.inf, jnp.float32)
-        for ax in range(3):
-            p = pts[..., ax] + half_vox
-            d = dirs[..., ax]
-            b = jnp.floor(p / cell)
-            bound = jnp.where(d > 0, (b + 1.0) * cell, b * cell)
-            t_ax = jnp.where(jnp.abs(d) > 1e-12, (bound - p) / d, jnp.inf)
-            out = jnp.minimum(out, jnp.where(t_ax > 0, t_ax, jnp.inf))
-        return jnp.maximum(out + 0.5 * step_min, step_min)
+        def compacted(state, idx=idx, mask=mask, steps=steps, cap=cap):
+            sub = _MarchState(
+                s=state.s[idx], s_prev=state.s_prev[idx],
+                lo=state.lo[idx], hi=state.hi[idx],
+                # padded entries are marked found so they don't march
+                found=state.found[idx] | ~mask,
+            )
+            out = _march(march, dir2, _gather_rays(rays, idx), sub, steps,
+                         gcfg, fcfg)
+            tgt = jnp.where(mask, idx, n)  # drop padding writes
 
-    def body(carry):
-        k, s, s_prev, hit_lo, hit_hi, found = carry
-        pts = origins + s[..., None] * dirs
-        phi, present, block_present = _dist_at(grid, pts, gcfg)
-        coarse_occ = vg.lookup_coarse(grid, pts, gcfg)
-        crossed = present & (phi >= 0.0) & ~found
-        # bracket: [s_prev, s] contains the crossing
-        hit_lo = jnp.where(crossed, s_prev, hit_lo)
-        hit_hi = jnp.where(crossed, s, hit_hi)
-        found = found | crossed
-        # step policy (each level is a superset guarantee — an absent
-        # block/cell cannot contain the truncation band):
-        #  * observed voxel: sphere-trace with -phi (free space is negative)
-        #  * allocated block, unobserved voxel: cautious T step (band may
-        #    start one voxel ahead behind a shadow boundary)
-        #  * unallocated block in an occupied coarse cell: DDA to the next
-        #    block boundary
-        #  * empty coarse 4^3-block cell: DDA to the next coarse boundary
-        step = jnp.where(
-            present,
-            jnp.clip(-phi, step_min, T),
-            jnp.where(
-                block_present,
-                T,
-                jnp.where(coarse_occ, _dda(pts, bs_m), _dda(pts, coarse_m)),
-            ),
-        )
-        s_new = jnp.where(found | (s > s_end), s, s + step)
-        return k + 1, s_new, s, hit_lo, hit_hi, found
+            def put(full, new):
+                return full.at[tgt].set(new, mode="drop")
 
-    init = (jnp.int32(0), s0, s0, s0, s0, jnp.zeros(s0.shape, bool))
-    _, s, _, lo, hi, found = jax.lax.while_loop(cond, body, init)
+            return _MarchState(
+                s=put(state.s, out.s), s_prev=put(state.s_prev, out.s_prev),
+                lo=put(state.lo, out.lo), hi=put(state.hi, out.hi),
+                found=put(state.found, out.found & mask),
+            )
 
-    def bisect(_, carry):
-        lo, hi = carry
-        mid = 0.5 * (lo + hi)
-        pts = origins + mid[..., None] * dirs
-        phi, present = _phi_at(grid, pts, gcfg, fcfg)
-        before = ~present | (phi < 0.0)  # still in free space
-        lo = jnp.where(before, mid, lo)
-        hi = jnp.where(before, hi, mid)
-        return lo, hi
+        def full_width(state, steps=steps):
+            return _march(march, dir2, rays, state, steps, gcfg, fcfg)
 
-    lo, hi = jax.lax.fori_loop(0, bisect_steps, bisect, (lo, hi))
+        state = jax.lax.cond(count <= cap, compacted, full_width, state)
 
-    # one differentiable Newton/IFT step from the stop-gradient'ed bracket
-    # midpoint (module docstring): value ~= bisection midpoint, derivative =
-    # the implicit-function-theorem depth gradient.
-    #
-    # Gradient subtlety: the semi-implicit field phi(p) = dist + s ghat.(c-p)
-    # is macroscopically increasing along the stored (inward) gradient —
-    # that is the SEMANTIC gradient the query returns, +s ghat — but its
-    # within-voxel sawtooth slope is -s ghat (c is the frozen voxel center),
-    # so naive autodiff through the query would flip the depth gradient's
-    # sign. The polish therefore freezes the query point and reattaches the
-    # spatial dependence as an explicit linearization with the semantic
-    # gradient (verified against finite differences in tests/test_raycast.py).
-    s_mid = jax.lax.stop_gradient(0.5 * (lo + hi))
-    pts_mid = origins + s_mid[..., None] * dirs
-    pts_frozen = jax.lax.stop_gradient(pts_mid)
-    phi_mid, grad_mid, w_mid = query.tsdf_grad(grid, pts_frozen, gcfg, fcfg)
-    g_sem = jax.lax.stop_gradient(grad_mid)
-    phi_lin = phi_mid + jnp.sum(g_sem * (pts_mid - pts_frozen), axis=-1)
-    denom = jax.lax.stop_gradient(jnp.sum(grad_mid * dirs, axis=-1))
-    # at a valid crossing the field increases along the ray (denom > 0);
-    # floor the denominator for near-tangent rays
-    safe = (w_mid > 0.0) & (denom > 0.0)
-    denom_f = jnp.maximum(denom, 0.25 * fcfg.grad_scale)
-    s_ift = s_mid - phi_lin / denom_f
-    # straight-through: VALUE = bisection midpoint (the bracket converges on
-    # the macro zero crossing), GRADIENT = the IFT expression. Using the IFT
-    # value directly would inject the O(voxel) jump residual phi(s_mid) into
-    # the depth estimate.
-    s_hit = jnp.where(safe, s_mid + s_ift - jax.lax.stop_gradient(s_ift),
-                      s_mid)
+    found = state.found
 
-    pts = origins + s_hit[..., None] * dirs
-    _, grad, w = query.tsdf_grad(grid, pts, gcfg, fcfg)
-    gn = jnp.linalg.norm(grad, axis=-1, keepdims=True)
-    normal = -grad / jnp.maximum(gn, 1e-12)  # stored grads are inward
+    def _refine(rays_c: _Rays, lo, hi):
+        """Bisection (march field, 2 gathers/iter) + straight-through
+        Newton/IFT polish; one semi-implicit query serves both polish and
+        the output normal. Returns (s_hit, pts [.,3], normal [.,3])."""
+
+        def bisect(_, carry):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            px = rays_c.ox + mid * rays_c.dx
+            py = rays_c.oy + mid * rays_c.dy
+            pz = rays_c.oz + mid * rays_c.dz
+            val, observed, _, _ = _march_probe(march, dir2, px, py, pz, gcfg)
+            before = ~observed | (val < 0.0)  # still in free space
+            lo = jnp.where(before, mid, lo)
+            hi = jnp.where(before, hi, mid)
+            return lo, hi
+
+        lo, hi = jax.lax.fori_loop(0, bisect_steps, bisect, (lo, hi))
+
+        # one differentiable Newton/IFT step from the stop-gradient'ed
+        # bracket midpoint (module docstring)
+        s_mid = jax.lax.stop_gradient(0.5 * (lo + hi))
+        o_c = jnp.stack([rays_c.ox, rays_c.oy, rays_c.oz], axis=-1)
+        d_c = jnp.stack([rays_c.dx, rays_c.dy, rays_c.dz], axis=-1)
+        pts_mid = o_c + s_mid[..., None] * d_c
+        pts_frozen = jax.lax.stop_gradient(pts_mid)
+        phi_mid, grad_mid, w_mid = query.tsdf_grad(grid, pts_frozen, gcfg,
+                                                   fcfg)
+        g_sem = jax.lax.stop_gradient(grad_mid)
+        phi_lin = phi_mid + jnp.sum(g_sem * (pts_mid - pts_frozen), axis=-1)
+        denom = jax.lax.stop_gradient(jnp.sum(grad_mid * d_c, axis=-1))
+        # at a valid crossing the field increases along the ray (denom > 0);
+        # floor the denominator for near-tangent rays
+        safe = (w_mid > 0.0) & (denom > 0.0)
+        denom_f = jnp.maximum(denom, 0.25 * fcfg.grad_scale)
+        s_ift = s_mid - phi_lin / denom_f
+        # straight-through: VALUE = bisection midpoint (the bracket
+        # converges on the macro zero crossing), GRADIENT = the IFT
+        # expression. Using the IFT value directly would inject the
+        # O(voxel) jump residual phi(s_mid) into the depth estimate.
+        s_hit = jnp.where(safe,
+                          s_mid + s_ift - jax.lax.stop_gradient(s_ift),
+                          s_mid)
+        gn = jnp.linalg.norm(grad_mid, axis=-1, keepdims=True)
+        normal = -grad_mid / jnp.maximum(gn, 1e-12)  # stored grads: inward
+        pts = o_c + s_hit[..., None] * d_c
+        return s_hit, pts, normal
+
+    # refinement runs compacted on the hit rays when they are a minority
+    # (scatter results back); full width otherwise
+    hit_cap = max(1, (3 * n) // 10)
+    n_hit = jnp.sum(found.astype(jnp.int32))
+    (hidx,) = jnp.nonzero(found, size=hit_cap, fill_value=0)
+    hmask = jnp.arange(hit_cap, dtype=jnp.int32) < n_hit
+
+    def refine_compacted(state):
+        s_c, pts_c, nrm_c = _refine(_gather_rays(rays, hidx),
+                                    state.lo[hidx], state.hi[hidx])
+        tgt = jnp.where(hmask, hidx, n)
+        depth = jnp.zeros((n,), jnp.float32).at[tgt].set(s_c, mode="drop")
+        points = jnp.zeros((n, 3), jnp.float32).at[tgt].set(pts_c,
+                                                            mode="drop")
+        normal = jnp.zeros((n, 3), jnp.float32).at[tgt].set(nrm_c,
+                                                            mode="drop")
+        return depth, points, normal
+
+    def refine_full(state):
+        return _refine(rays, state.lo, state.hi)
+
+    depth, points, normal = jax.lax.cond(
+        n_hit <= hit_cap, refine_compacted, refine_full, state
+    )
 
     return RaycastResult(
-        depth=jnp.where(found, s_hit, 0.0),
-        points=jnp.where(found[..., None], pts, 0.0),
+        depth=jnp.where(found, depth, 0.0),
+        points=jnp.where(found[..., None], points, 0.0),
         normal=jnp.where(found[..., None], normal, 0.0),
         hit=found,
     )
@@ -259,7 +455,9 @@ def render_depth_normal(
     gcfg: GridConfig,
     fcfg: FusionConfig,
     *,
-    prior_stride: int = 8,
+    prior_stride: int = 4,
+    prior_miss_skip: bool = True,
+    depth_prior: Optional[jax.Array] = None,
     s_min: float = 0.1,
     s_max: float = 5.0,
     **kw,
@@ -269,12 +467,29 @@ def render_depth_normal(
     With `prior_stride` > 1 a low-res prior pass (1/stride^2 of the rays)
     marches first and each full-res ray then marches only inside the
     [min - margin, max + margin] hit range of its coarse 3x3 neighborhood —
-    the dominant raycast speedup (PERF_NOTES.md). `prior_stride=0` disables.
+    the min/max range-image technique. With `prior_miss_skip` (default),
+    rays whose WHOLE coarse neighborhood missed are declared misses without
+    marching — the policy of production voxel-hashing raycasters; only
+    geometry thinner than the prior stride (4 px) can be lost. Set
+    `prior_miss_skip=False` to march those rays over the full range
+    instead, or `prior_stride=0` to disable the prior entirely.
+
+    `depth_prior` (optional [H, W] camera-z image, e.g. the previous fused
+    frame's depth in frame-to-model loops) replaces the prior pass: each
+    ray marches a +-(T + margin) window around its prior depth, falling
+    back to the coarse-pass policy where the prior has holes (depth 0).
     """
     origins, dirs, inv_hnorm = camera_rays(K, R, t, width, height)
+    T = fcfg.trunc_voxels * gcfg.voxel_size
+    margin = T + 2.0 * gcfg.voxel_size
 
     s_lo = s_hi = None
-    if prior_stride and prior_stride > 1 and width % prior_stride == 0 \
+    if depth_prior is not None:
+        sp = (depth_prior / inv_hnorm.reshape(height, width)).reshape(-1)
+        ok = depth_prior.reshape(-1) > 0
+        s_lo = jnp.where(ok, jnp.maximum(sp - margin, s_min), s_min)
+        s_hi = jnp.where(ok, jnp.minimum(sp + margin, s_max), s_max)
+    elif prior_stride and prior_stride > 1 and width % prior_stride == 0 \
             and height % prior_stride == 0:
         wc, hc = width // prior_stride, height // prior_stride
         # coarse rays = the full-res rays at strided pixel centers
@@ -288,10 +503,14 @@ def render_depth_normal(
         sc = res_c.depth.reshape(hc, wc)
         mc = res_c.hit.reshape(hc, wc)
         mn, mx, anyhit = _neighborhood_minmax(sc, mc)
-        T = fcfg.trunc_voxels * gcfg.voxel_size
-        margin = 2.0 * T + 0.1
-        lo_c = jnp.where(anyhit, jnp.maximum(mn - margin, s_min), s_min)
-        hi_c = jnp.where(anyhit, jnp.minimum(mx + margin, s_max), s_max)
+        if prior_miss_skip:
+            # all-miss neighborhood -> empty window (ray never marches)
+            lo_c = jnp.where(anyhit, jnp.maximum(mn - margin, s_min), s_max)
+            hi_c = jnp.where(anyhit, jnp.minimum(mx + margin, s_max),
+                             s_min - 1.0)
+        else:
+            lo_c = jnp.where(anyhit, jnp.maximum(mn - margin, s_min), s_min)
+            hi_c = jnp.where(anyhit, jnp.minimum(mx + margin, s_max), s_max)
         s_lo = jnp.repeat(jnp.repeat(lo_c, prior_stride, 0), prior_stride, 1)
         s_hi = jnp.repeat(jnp.repeat(hi_c, prior_stride, 0), prior_stride, 1)
         s_lo = s_lo.reshape(-1)

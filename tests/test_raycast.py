@@ -147,3 +147,41 @@ def test_depth_gradient_matches_finite_differences(fused):
     ratio = np.linalg.norm(g) / np.linalg.norm(fd)
     assert cos > 0.97, f"gradient direction off: cos={cos:.3f}"
     assert 0.7 < ratio < 1.4, f"gradient magnitude off: ratio={ratio:.3f}"
+
+
+def test_depth_prior_render_matches_full(fused):
+    """Rendering with the previous frame's depth as prior (frame-to-model
+    path) matches the from-scratch render on prior-covered pixels."""
+    world, poses, grid = fused
+    R, t = poses[3]
+    kw = dict(s_min=0.3, s_max=2.5)
+    d0, _, h0 = raycast.render_depth_normal(
+        grid, jnp.asarray(K), jnp.asarray(R), jnp.asarray(t), W, H, GCFG, FCFG,
+        prior_stride=0, **kw)
+    # prior = the true render itself (ideal stationary-camera prior)
+    d1, _, h1 = raycast.render_depth_normal(
+        grid, jnp.asarray(K), jnp.asarray(R), jnp.asarray(t), W, H, GCFG, FCFG,
+        depth_prior=d0, **kw)
+    h0 = np.asarray(h0); h1 = np.asarray(h1)
+    both = h0 & h1
+    assert both.sum() > 0.95 * h0.sum()
+    err = np.abs(np.asarray(d1)[both] - np.asarray(d0)[both])
+    assert np.quantile(err, 0.995) < 1.5 * GCFG.voxel_size
+
+
+def test_prior_miss_skip_only_drops_subcell_geometry(fused):
+    """prior_miss_skip never adds hits and only removes hits whose whole
+    coarse neighborhood missed (silhouette tails)."""
+    world, poses, grid = fused
+    R, t = poses[2]
+    kw = dict(s_min=0.3, s_max=2.5, prior_stride=4)
+    _, _, h_march = raycast.render_depth_normal(
+        grid, jnp.asarray(K), jnp.asarray(R), jnp.asarray(t), W, H, GCFG, FCFG,
+        prior_miss_skip=False, **kw)
+    _, _, h_skip = raycast.render_depth_normal(
+        grid, jnp.asarray(K), jnp.asarray(R), jnp.asarray(t), W, H, GCFG, FCFG,
+        prior_miss_skip=True, **kw)
+    h_march = np.asarray(h_march); h_skip = np.asarray(h_skip)
+    assert not np.any(h_skip & ~h_march)          # no new hits
+    lost = (h_march & ~h_skip).sum()
+    assert lost <= 0.02 * max(h_march.sum(), 1)   # only silhouette tails
