@@ -137,6 +137,25 @@ def main():
     except Exception as e:  # pragma: no cover
         result["track_error"] = repr(e)[:200]
 
+    try:
+        # fast mode: stride-2 fusion (FusionConfig.fusion_stride — quarters
+        # the scatter traffic, per-voxel means stay unbiased; the reference
+        # fuses every pixel so the HEADLINE fps above keeps parity settings)
+        import dataclasses
+
+        fcfg_fast = dataclasses.replace(fcfg, fusion_stride=2)
+        log("compiling fast-mode fusion...")
+        fuse_fast = jax.jit(
+            lambda g, d, R, t: fusion.fuse_frame(g, d, cache, R, t, gcfg,
+                                                 fcfg_fast)
+        )
+        fuse_fast_s = timeit(lambda: fuse_fast(grid, depths[4], R4, t4),
+                             iters=10)
+        result["fast_fuse_ms"] = round(fuse_fast_s * 1e3, 2)
+        result["fast_fps"] = round(1.0 / (fuse_fast_s + track_s), 3)
+    except Exception as e:  # pragma: no cover
+        result["fast_error"] = repr(e)[:200]
+
     elapsed = time.time() - t_start
     if elapsed > 1500:
         result["raycast_skipped"] = f"time budget ({elapsed:.0f}s elapsed)"

@@ -57,6 +57,11 @@ def build_parser():
                         "RigidPointOptimizer.h:63-66); 0 = auto: stride 2 at "
                         "VGA+ resolutions (~4x cheaper, negligible accuracy "
                         "loss), dense below")
+    p.add_argument("--fusion-stride", dest="fusion_stride", type=int,
+                   default=1,
+                   help="integrate every s-th pixel's ray walk (1 = every "
+                        "pixel like the reference; 2 quarters fusion cost, "
+                        "per-voxel means stay unbiased)")
     p.add_argument("--eval-gt", dest="eval_gt", default="groundtruth.txt",
                    help="TUM-format GT trajectory (relative to --input) used "
                         "ONLY for ATE evaluation of the tracked poses; "
@@ -80,7 +85,8 @@ def run_scan(args) -> dict:
         cfg,
         grid=dataclasses.replace(cfg.grid, voxel_size=args.voxel_size),
         fusion=dataclasses.replace(
-            cfg.fusion, trunc_voxels=args.trunc, z_max=args.zmax
+            cfg.fusion, trunc_voxels=args.trunc, z_max=args.zmax,
+            fusion_stride=max(1, getattr(args, "fusion_stride", 1)),
         ),
     )
 

@@ -108,6 +108,15 @@ def _pixel_rays(
         & (n_sq >= fcfg.normal_sq_min)
         & (ndoth * ndoth * cache.n_sq_inv >= fcfg.view_angle_cos_sq)
     )
+    stride = int(getattr(fcfg, "fusion_stride", 1))
+    if stride > 1:
+        # integrate every stride-th pixel only (FusionConfig.fusion_stride):
+        # with valid-ray compaction this directly divides the random-pass
+        # traffic; gates/normals above still use the full image
+        hh, ww = z.shape
+        row_ok = (jnp.arange(hh, dtype=jnp.int32) % stride == 0)[:, None]
+        col_ok = (jnp.arange(ww, dtype=jnp.int32) % stride == 0)[None, :]
+        valid = valid & row_ok & col_ok
     return FrameRays(
         z=z.reshape(-1),
         hx=jnp.broadcast_to(hx, z.shape).reshape(-1),
@@ -331,6 +340,10 @@ def fuse_frame(
     rays = _pixel_rays(depth, normal_img, cache, fcfg)
     n_rays = rays.z.shape[0]
     chunk = int(fcfg.compact_chunk_rays)
+    stride = int(getattr(fcfg, "fusion_stride", 1))
+    if chunk > 0 and stride > 1:
+        # expected valid count scales ~1/stride^2; shrink the work quantum
+        chunk = max(8 * 1024, chunk // (stride * stride))
 
     if chunk <= 0 or chunk >= n_rays:
         # single full-frame pass (no compaction)

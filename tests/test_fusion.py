@@ -267,3 +267,38 @@ def test_grad_sdf_map_auto_grows_directory():
     m.update(depth, K, (jnp.asarray(R), jnp.asarray(t)))
     assert int(m.grid.num_active) >= 4       # second frame integrates
     assert int(m.grid.oob_samples) == 0
+
+
+def test_fusion_stride_unbiased_quarter_weight(world, cache):
+    """fusion_stride=2 integrates every other pixel: per-voxel weights drop
+    ~4x, dist/grad means stay unbiased (close to full-res fusion)."""
+    import dataclasses
+
+    f2 = dataclasses.replace(FCFG, fusion_stride=2)
+    ga, gb = vg.create(GCFG), vg.create(GCFG)
+    for i in range(3):
+        R, t = make_pose(i)
+        depth = synth.render_depth(world, jnp.asarray(R), jnp.asarray(t), K, W, H)
+        ga = fusion.fuse_frame(ga, depth, cache, jnp.asarray(R),
+                               jnp.asarray(t), GCFG, FCFG)
+        gb = fusion.fuse_frame(gb, depth, cache, jnp.asarray(R),
+                               jnp.asarray(t), GCFG, f2)
+    wa = float(jnp.sum(ga.weight))
+    wb = float(jnp.sum(gb.weight))
+    assert 0.15 * wa < wb < 0.4 * wa  # ~quarter total weight
+
+    # voxels well-observed in BOTH runs carry nearly the same mean dist
+    wa_f = np.asarray(vg.flat_field(ga.weight))
+    wb_f = np.asarray(vg.flat_field(gb.weight))
+    lin_a, _ = vg.lookup_voxels(
+        ga, vg.block_local_to_voxel(
+            gb.block_coords[: int(gb.num_active)], GCFG).reshape(-1, 3), GCFG)
+    # compare on voxels present in the strided run with weight in both
+    da = np.asarray(vg.flat_field(ga.dist)[lin_a])
+    db = np.asarray(vg.flat_field(gb.dist)[: int(gb.num_active) * 512])
+    sa = wa_f[np.asarray(lin_a)]
+    sb = wb_f[: int(gb.num_active) * 512]
+    # tiny 64x48 fixture -> small absolute weights
+    sel = (sa > 0.5) & (sb > 0.12)
+    assert sel.sum() > 50
+    assert np.median(np.abs(da[sel] - db[sel])) < 0.25 * GCFG.voxel_size
