@@ -170,6 +170,19 @@ def main():
         )
         rc_s = timeit(lambda: rc_jit(grid, R4, t4), iters=5)
         result["raycast_mrays_per_s"] = round(W * H / rc_s / 1e6, 3)
+
+        # incremental frame-to-model rendering: previous frame's depth as
+        # the march prior, prior holes skipped (nothing was fused there)
+        d_prev, _, _ = rc_jit(grid, R4, t4)
+        rci_jit = jax.jit(
+            lambda g, R, t, dp: raycast.render_depth_normal(
+                g, jnp.asarray(K), R, t, W, H, gcfg, fcfg, s_max=3.5,
+                depth_prior=dp, depth_prior_holes="skip",
+            )
+        )
+        rci_s = timeit(lambda: rci_jit(grid, R4, t4, d_prev), iters=5)
+        result["raycast_incremental_mrays_per_s"] = round(
+            W * H / rci_s / 1e6, 3)
     except Exception as e:  # pragma: no cover
         result["raycast_error"] = repr(e)[:200]
 

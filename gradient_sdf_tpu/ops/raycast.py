@@ -243,6 +243,7 @@ def raycast(
     bisect_steps: int = 5,
     burst_steps: int = 12,
     compact_divisors: tuple = (8, 64),
+    refine: bool = True,
 ) -> RaycastResult:
     """Trace N rays; returns first zero crossing along each.
 
@@ -326,6 +327,17 @@ def raycast(
         state = jax.lax.cond(count <= cap, compacted, full_width, state)
 
     found = state.found
+
+    if not refine:
+        s_mid = 0.5 * (state.lo + state.hi)
+        pts = (origins + s_mid[:, None] * dirs)
+        z3 = jnp.zeros((n, 3), jnp.float32)
+        return RaycastResult(
+            depth=jnp.where(found, s_mid, 0.0),
+            points=jnp.where(found[:, None], pts, 0.0),
+            normal=z3,
+            hit=found,
+        )
 
     def _refine(rays_c: _Rays, lo, hi):
         """Bisection (march field, 2 gathers/iter) + straight-through
@@ -458,6 +470,7 @@ def render_depth_normal(
     prior_stride: int = 4,
     prior_miss_skip: bool = True,
     depth_prior: Optional[jax.Array] = None,
+    depth_prior_holes: str = "march",
     s_min: float = 0.1,
     s_max: float = 5.0,
     **kw,
@@ -476,8 +489,11 @@ def render_depth_normal(
 
     `depth_prior` (optional [H, W] camera-z image, e.g. the previous fused
     frame's depth in frame-to-model loops) replaces the prior pass: each
-    ray marches a +-(T + margin) window around its prior depth, falling
-    back to the coarse-pass policy where the prior has holes (depth 0).
+    ray marches a +-(T + margin) window around its prior depth.
+    `depth_prior_holes` decides prior-hole (depth 0) rays: "march" (default,
+    safe) marches them over the full range; "skip" declares them misses —
+    the incremental frame-to-model policy when holes mean "nothing fused
+    there last frame".
     """
     origins, dirs, inv_hnorm = camera_rays(K, R, t, width, height)
     T = fcfg.trunc_voxels * gcfg.voxel_size
@@ -487,8 +503,13 @@ def render_depth_normal(
     if depth_prior is not None:
         sp = (depth_prior / inv_hnorm.reshape(height, width)).reshape(-1)
         ok = depth_prior.reshape(-1) > 0
-        s_lo = jnp.where(ok, jnp.maximum(sp - margin, s_min), s_min)
-        s_hi = jnp.where(ok, jnp.minimum(sp + margin, s_max), s_max)
+        if depth_prior_holes == "skip":
+            s_lo = jnp.where(ok, jnp.maximum(sp - margin, s_min), s_max)
+            s_hi = jnp.where(ok, jnp.minimum(sp + margin, s_max),
+                             s_min - 1.0)
+        else:
+            s_lo = jnp.where(ok, jnp.maximum(sp - margin, s_min), s_min)
+            s_hi = jnp.where(ok, jnp.minimum(sp + margin, s_max), s_max)
     elif prior_stride and prior_stride > 1 and width % prior_stride == 0 \
             and height % prior_stride == 0:
         wc, hc = width // prior_stride, height // prior_stride
@@ -499,7 +520,7 @@ def render_depth_normal(
         d_c = d_img[off::prior_stride, off::prior_stride].reshape(-1, 3)
         o_c = o_img[off::prior_stride, off::prior_stride].reshape(-1, 3)
         res_c = raycast(grid, o_c, d_c, gcfg, fcfg,
-                        s_min=s_min, s_max=s_max, **kw)
+                        s_min=s_min, s_max=s_max, refine=False, **kw)
         sc = res_c.depth.reshape(hc, wc)
         mc = res_c.hit.reshape(hc, wc)
         mn, mx, anyhit = _neighborhood_minmax(sc, mc)

@@ -185,3 +185,23 @@ def test_prior_miss_skip_only_drops_subcell_geometry(fused):
     assert not np.any(h_skip & ~h_march)          # no new hits
     lost = (h_march & ~h_skip).sum()
     assert lost <= 0.02 * max(h_march.sum(), 1)   # only silhouette tails
+
+
+def test_depth_prior_hole_skip(fused):
+    """depth_prior_holes='skip': prior-covered pixels render identically;
+    hole pixels are misses."""
+    world, poses, grid = fused
+    R, t = poses[3]
+    kw = dict(s_min=0.3, s_max=2.5)
+    d0, _, h0 = raycast.render_depth_normal(
+        grid, jnp.asarray(K), jnp.asarray(R), jnp.asarray(t), W, H, GCFG, FCFG,
+        prior_stride=0, **kw)
+    d1, _, h1 = raycast.render_depth_normal(
+        grid, jnp.asarray(K), jnp.asarray(R), jnp.asarray(t), W, H, GCFG, FCFG,
+        depth_prior=d0, depth_prior_holes="skip", **kw)
+    h0 = np.asarray(h0); h1 = np.asarray(h1)
+    assert not np.any(h1 & ~h0)       # holes stay misses
+    both = h0 & h1
+    assert both.sum() > 0.95 * h0.sum()
+    err = np.abs(np.asarray(d1)[both] - np.asarray(d0)[both])
+    assert np.quantile(err, 0.995) < 1.5 * GCFG.voxel_size
