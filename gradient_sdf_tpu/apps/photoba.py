@@ -112,9 +112,10 @@ def run_photoba(args) -> dict:
                                   slot=slot))
         else:
             T.tic()
+            # live map config: grid capacity/directory may grow mid-run
             res = tracker_mod.track_frame(
                 sdf_map.grid, depth, jnp.asarray(K), R_cur, t_cur,
-                cfg.grid, cfg.fusion, cfg.tracker,
+                sdf_map.cfg.grid, sdf_map.cfg.fusion, cfg.tracker,
             )
             T.toc("Point optimization")
             R_cur, t_cur = res.R, res.t
@@ -174,8 +175,9 @@ def run_photoba(args) -> dict:
         [(k["stamp"], k["pose"][0], k["pose"][1]) for k in kfs],
     )
 
+    gcfg_live = sdf_map.cfg.grid  # may have grown during phase 1
     problem, state = photo_ba.build_problem(
-        sdf_map.grid, sdf_map.vis, slots, images, poses, K, cfg.grid
+        sdf_map.grid, sdf_map.vis, slots, images, poses, K, gcfg_live
     )
     mesh = None
     if args.sharded_ba:
@@ -183,7 +185,7 @@ def run_photoba(args) -> dict:
 
         mesh = mesh_mod.make_mesh()
     opt = photo_ba.PhotometricOptimizer(
-        problem, state, cfg.grid, cfg.photo_ba,
+        problem, state, gcfg_live, cfg.photo_ba,
         coupled_poses=args.coupled_poses, mesh=mesh,
     )
     T.tic()
@@ -199,19 +201,22 @@ def run_photoba(args) -> dict:
         [(k["stamp"], R, t) for k, (R, t) in zip(kfs, opt_poses)],
     )
     sdf_map.grid = photo_ba.write_back_dist(
-        sdf_map.grid, opt.problem, opt.state, cfg.grid
+        sdf_map.grid, opt.problem, opt.state, gcfg_live
     )
 
     # Phase 3: color upsampling + HR exports
     T.tic()
-    hr = color_upsampler.build_hr_voxels(sdf_map.grid, sdf_map.vis, slots, cfg.grid)
-    hr = color_upsampler.compute_color(hr, images, opt_poses, K, cfg.grid)
+    hr = color_upsampler.build_hr_voxels(sdf_map.grid, sdf_map.vis, slots,
+                                         gcfg_live)
+    hr = color_upsampler.compute_color(hr, images, opt_poses, K, gcfg_live)
     T.toc("Color upsampling")
     color_upsampler.extract_mesh_hr(
-        hr, os.path.join(args.results, "coarse_BA_mesh_after_upsample.ply"), cfg.grid
+        hr, os.path.join(args.results, "coarse_BA_mesh_after_upsample.ply"),
+        gcfg_live,
     )
     color_upsampler.extract_cloud(
-        hr, os.path.join(args.results, "coarse_BA_cloud_after_upsample.ply"), cfg.grid
+        hr, os.path.join(args.results, "coarse_BA_cloud_after_upsample.ply"),
+        gcfg_live,
     )
 
     metrics = {

@@ -126,6 +126,18 @@ def run_scan(args) -> dict:
 
         state = ckpt.load_state(args.resume)
         sdf_map.grid = state["grid"]
+        if state.get("grid_cfg") is not None:
+            # restore the (possibly grown) grid geometry: dir_dim defines
+            # the directory key linearization. The checkpoint's voxel size
+            # is authoritative (legacy checkpoints lack it -> CLI value)
+            gc = state["grid_cfg"]
+            import math
+
+            if math.isnan(gc.voxel_size):
+                gc = dataclasses.replace(gc, voxel_size=cfg.grid.voxel_size)
+            cfg = dataclasses.replace(cfg, grid=gc)
+            sdf_map.cfg = dataclasses.replace(sdf_map.cfg, grid=gc)
+            sdf_map._fuse_jit = None
         if state["vis"] is not None and hasattr(sdf_map, "vis"):
             sdf_map.vis = state["vis"]
         sdf_map.counter = state["counter"]
@@ -186,9 +198,13 @@ def run_scan(args) -> dict:
             T.toc("Integrate depth data into Sdf")
         else:
             T.tic()
+            # read grid/fusion config from the map: capacity or directory
+            # growth between frames changes them (stale configs index the
+            # enlarged directory with the wrong linearization)
             res = tracker_mod.track_frame(
                 sdf_map.grid, depth, jnp.asarray(K), R_cur, t_cur,
-                cfg.grid, cfg.fusion, cfg.tracker, mode=track_mode,
+                sdf_map.cfg.grid, sdf_map.cfg.fusion, cfg.tracker,
+                mode=track_mode,
             )
             conv = bool(res.converged)
             T.toc("Point optimization")
@@ -216,6 +232,7 @@ def run_scan(args) -> dict:
                 ckpt_path, sdf_map.grid,
                 vis=getattr(sdf_map, "vis", None),
                 counter=sdf_map.counter, poses=pose_entries,
+                grid_cfg=sdf_map.cfg.grid,
             )
 
     tumio.write_trajectory(pose_path, pose_entries)

@@ -100,8 +100,6 @@ class GradSdfMap:
         self._fuse_jit = None  # config changed -> retrace
         print(f"Grid grown to {new_gcfg.num_blocks} blocks")
 
-    MAX_DIR_DIM = 512  # 512^3 int32 = 536 MB spatial index
-
     def _grow_directory(self):
         """Enlarge the directory's world range when fusion reported samples
         beyond it (reference equivalence: unbounded tsdf_[vi] upsert,
@@ -109,20 +107,11 @@ class GradSdfMap:
         are lost; subsequent frames integrate."""
         import dataclasses
 
-        lost = int(self.grid.oob_samples)
-        if self.cfg.grid.dir_dim >= self.MAX_DIR_DIM:
-            print(f"WARNING: {lost} samples beyond the maximum world range "
-                  f"(dir_dim={self.cfg.grid.dir_dim}) were dropped")
-            self.grid = self.grid._replace(
-                oob_samples=jnp.zeros((), jnp.int32))
-            return
-        self.grid, new_gcfg = vg.grow_directory(self.grid, self.cfg.grid)
-        self.cfg = dataclasses.replace(self.cfg, grid=new_gcfg)
-        self._fuse_jit = None  # config changed -> retrace
-        half = new_gcfg.dir_dim // 2 * new_gcfg.block_shape * new_gcfg.voxel_size
-        print(f"Directory grown to dir_dim={new_gcfg.dir_dim} "
-              f"(world range +-{half:.2f} m); {lost} out-of-range samples "
-              f"from the triggering frame were dropped")
+        self.grid, new_gcfg, grew = vg.handle_oob_growth(
+            self.grid, self.cfg.grid)
+        if grew:
+            self.cfg = dataclasses.replace(self.cfg, grid=new_gcfg)
+            self._fuse_jit = None  # config changed -> retrace
 
     # -- queries ------------------------------------------------------------
     def tsdf(self, points):

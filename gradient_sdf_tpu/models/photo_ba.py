@@ -246,8 +246,10 @@ def solve_pose(problem: BAProblem, state: BAState, gcfg: GridConfig,
         A, Jc, valid = frame_AJ(Ri, ti, img, vis_i)
         w = (valid & (n > 0)).astype(jnp.float32)
         r = A - mean_A
-        b = jnp.einsum("v,vc,vce->e", w, r, Jc)
-        H = jnp.einsum("v,vce,vcf->ef", w * (1.0 - inv_n), Jc, Jc)
+        b = jnp.einsum("v,vc,vce->e", w, r, Jc,
+                       precision=jax.lax.Precision.HIGHEST)
+        H = jnp.einsum("v,vce,vcf->ef", w * (1.0 - inv_n), Jc, Jc,
+                       precision=jax.lax.Precision.HIGHEST)
         return carry, (H, b)
 
     _, (H, b) = jax.lax.scan(per_frame, None, xs)  # H [F,6,6], b [F,6]
@@ -308,14 +310,17 @@ def _pose_full_system(problem: BAProblem, state: BAState, gcfg: GridConfig,
             A, Jc, valid = sub_AJ(Ri, ti, img, vis_i)
             w = (valid & (ns > 0)).astype(jnp.float32)
             r = A - means
-            b = jnp.einsum("v,vc,vce->e", w, r, Jc)
-            hd = jnp.einsum("v,vce,vcf->ef", w, Jc, Jc)
+            b = jnp.einsum("v,vc,vce->e", w, r, Jc,
+                           precision=jax.lax.Precision.HIGHEST)
+            hd = jnp.einsum("v,vce,vcf->ef", w, Jc, Jc,
+                            precision=jax.lax.Precision.HIGHEST)
             return c2, (b, hd, w[:, None, None] * Jc)
 
         sub_xs = (state.R, state.t, problem.images,
                   jnp.moveaxis(viss, 1, 0), jnp.arange(F))
         _, (b, hd, Jm) = jax.lax.scan(per_frame, None, sub_xs)
-        cross = jnp.einsum("avce,v,bvcf->abef", Jm, invns, Jm)
+        cross = jnp.einsum("avce,v,bvcf->abef", Jm, invns, Jm,
+                           precision=jax.lax.Precision.HIGHEST)
         return (b_acc + b, hd_acc + hd, cross_acc + cross), None
 
     init = (jnp.zeros((F, 6)), jnp.zeros((F, 6, 6)), jnp.zeros((F, F, 6, 6)))

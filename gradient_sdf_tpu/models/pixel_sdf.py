@@ -74,16 +74,11 @@ class PixelSdfMap:
         if int(self.grid.oob_samples) > 0:
             import dataclasses
 
-            if self.cfg.grid.dir_dim >= 512:
-                print(f"WARNING: {int(self.grid.oob_samples)} samples beyond "
-                      "the maximum world range were dropped")
-                self.grid = self.grid._replace(
-                    oob_samples=jnp.zeros((), jnp.int32))
-            else:
-                self.grid, new_gcfg = vg.grow_directory(self.grid, self.cfg.grid)
+            self.grid, new_gcfg, grew = vg.handle_oob_growth(
+                self.grid, self.cfg.grid)
+            if grew:
                 self.cfg = dataclasses.replace(self.cfg, grid=new_gcfg)
                 self._fuse_jit = None
-                print(f"Directory grown to dir_dim={new_gcfg.dir_dim}")
 
     def tsdf(self, points):
         phi, grad, _ = query.tsdf_trilinear(

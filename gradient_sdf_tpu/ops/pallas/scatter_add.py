@@ -66,6 +66,8 @@ def scatter_add_rows(idx: jax.Array, val: jax.Array, out_size: int,
     128 internally; the accumulator must fit VMEM (<= ~2M elements)."""
     n = idx.shape[0]
     rows = -(-out_size // LANES)
+    if n == 0:
+        return jnp.zeros((out_size,), jnp.float32)
     pad = (-n) % chunk
     if pad:
         idx = jnp.pad(idx, (0, pad), constant_values=-1)

@@ -62,26 +62,6 @@ def tsdf_grad(grid: vg.VoxelGrid, points: jax.Array, gcfg: GridConfig,
     return phi, grad, weight
 
 
-def tsdf_lite(grid: vg.VoxelGrid, points: jax.Array, gcfg: GridConfig):
-    """Cheap nearest-voxel query for ray marching:
-    (dist, voxel_present, block_present).
-
-    Skips the [N,3] gradient gather of `tsdf_grad` (a 3-wide-minor-axis
-    gather — slow on TPU); the raw voxel `dist` shares phi's sign, which is
-    all sphere-trace stepping/bracketing needs. `block_present`
-    distinguishes "unobserved voxel inside an allocated block" (march
-    cautiously — the band may start one voxel ahead) from "wholly
-    unallocated block" (cannot contain the truncation band — the ray may
-    skip to the block boundary). See PERF_NOTES.md.
-    """
-    vi = vg.point_to_voxel(points, gcfg.voxel_size)
-    lin, block_present = vg.lookup_voxels(grid, vi, gcfg)
-    dist = vg.flat_field(grid.dist)[lin]
-    weight = vg.flat_field(grid.weight)[lin]
-    present = block_present & (weight > 0.0)
-    return jnp.where(present, dist, 0.0), present, block_present
-
-
 def weights_at(grid: vg.VoxelGrid, points: jax.Array, gcfg: GridConfig):
     """Nearest-voxel fusion weight (reference `MapGradPixelSdf::weights`,
     `MapGradPixelSdf.h:117-125`): 0 where the voxel is unallocated."""

@@ -250,7 +250,7 @@ def raycast(
     `s_lo`/`s_hi` optionally bound each ray's march window (from a depth
     prior); they default to the scalar [s_min, s_max]. The burst of
     `burst_steps` runs pre-compacted to N/2 when per-ray windows exist
-    (window-skipped rays never occupy march lanes); surviving rays then
+    (window-skipped rays never occupy march lanes; cap 3N/8); surviving rays then
     continue in compacted buffers of N/divisor rays per entry of
     `compact_divisors`. Any round that would overflow its capacity falls
     back to full width rather than dropping rays."""
@@ -440,20 +440,22 @@ def camera_rays(K, R, t, width: int, height: int):
 
 def _neighborhood_minmax(img: jax.Array, mask: jax.Array):
     """3x3 min/max over `img` counting only masked entries; also returns
-    whether any neighbor is masked. Edge-padded."""
-    big = jnp.where(mask, img, jnp.inf)
-    small = jnp.where(mask, img, -jnp.inf)
-    anym = mask
-    mn, mx = big, small
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            mn = jnp.minimum(mn, jnp.roll(big, (dy, dx), axis=(0, 1)))
-            mx = jnp.maximum(mx, jnp.roll(small, (dy, dx), axis=(0, 1)))
-            anym = anym | jnp.roll(mask, (dy, dx), axis=(0, 1))
-    # jnp.roll wraps; wrapped neighbors only widen the window (safe: windows
-    # only ever grow toward the full [s_min, s_max] fallback)
+    whether any neighbor is masked. Edge-padded (a wrap would import hit
+    windows from the opposite image border and could mask real geometry)."""
+    h, w = img.shape
+    big = jnp.pad(jnp.where(mask, img, jnp.inf), 1, constant_values=jnp.inf)
+    small = jnp.pad(jnp.where(mask, img, -jnp.inf), 1,
+                    constant_values=-jnp.inf)
+    maskp = jnp.pad(mask, 1, constant_values=False)
+    mn = jnp.full_like(img, jnp.inf)
+    mx = jnp.full_like(img, -jnp.inf)
+    anym = jnp.zeros_like(mask)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            mn = jnp.minimum(mn, jax.lax.dynamic_slice(big, (dy, dx), (h, w)))
+            mx = jnp.maximum(mx, jax.lax.dynamic_slice(small, (dy, dx),
+                                                       (h, w)))
+            anym = anym | jax.lax.dynamic_slice(maskp, (dy, dx), (h, w))
     return mn, mx, anym
 
 

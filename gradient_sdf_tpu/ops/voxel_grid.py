@@ -401,6 +401,28 @@ def grow_directory(grid: VoxelGrid, cfg: GridConfig, factor: int = 2):
     return big, new_cfg
 
 
+MAX_DIR_DIM = 512  # 512^3 int32 = 536 MB spatial index
+
+
+def handle_oob_growth(grid: VoxelGrid, cfg: GridConfig):
+    """Shared driver policy for out-of-range samples: grow the directory
+    (factor 2, up to MAX_DIR_DIM) when fusion reported any, else warn and
+    clear the counter. Returns (grid, cfg, grew: bool)."""
+    lost = int(grid.oob_samples)
+    if lost == 0:
+        return grid, cfg, False
+    if cfg.dir_dim >= MAX_DIR_DIM:
+        print(f"WARNING: {lost} samples beyond the maximum world range "
+              f"(dir_dim={cfg.dir_dim}) were dropped")
+        return grid._replace(oob_samples=jnp.zeros((), jnp.int32)), cfg, False
+    grid, cfg = grow_directory(grid, cfg)
+    half = cfg.dir_dim // 2 * cfg.block_shape * cfg.voxel_size
+    print(f"Directory grown to dir_dim={cfg.dir_dim} "
+          f"(world range +-{half:.2f} m); {lost} out-of-range samples "
+          f"from the triggering frame were dropped")
+    return grid, cfg, True
+
+
 # ---------------------------------------------------------------------------
 # field access helpers
 # ---------------------------------------------------------------------------

@@ -17,15 +17,19 @@ from typing import Optional
 import numpy as np
 import jax.numpy as jnp
 
+from ..config import GridConfig
 from ..ops import voxel_grid as vg
 
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2 adds the GridConfig geometry (dir_dim may have grown)
 
 
 def save_state(path: str, grid: vg.VoxelGrid, *, vis=None, counter: int = 0,
-               poses=None, extra: Optional[dict] = None):
-    """poses: list of (timestamp, R [3,3], t [3])."""
+               poses=None, grid_cfg: Optional[GridConfig] = None,
+               extra: Optional[dict] = None):
+    """poses: list of (timestamp, R [3,3], t [3]). `grid_cfg` persists the
+    grid geometry — mandatory for runs where capacity or directory growth
+    fired (stale dir_dim mis-linearizes every key on resume)."""
     data = {
         "format_version": FORMAT_VERSION,
         "counter": counter,
@@ -41,6 +45,11 @@ def save_state(path: str, grid: vg.VoxelGrid, *, vis=None, counter: int = 0,
         "grad_y": np.asarray(grid.grad_y),
         "grad_z": np.asarray(grid.grad_z),
     }
+    if grid_cfg is not None:
+        data["gcfg"] = np.asarray([
+            grid_cfg.block_shape, grid_cfg.num_blocks, grid_cfg.dir_dim
+        ], np.int64)
+        data["gcfg_voxel_size"] = np.float64(grid_cfg.voxel_size)
     if vis is not None:
         data["vis"] = np.asarray(vis)
     if poses:
@@ -74,6 +83,23 @@ def load_state(path: str):
         grad_z=jnp.asarray(z["grad_z"]),
     )
     vis = jnp.asarray(z["vis"]) if "vis" in z else None
+    grid_cfg = None
+    if "gcfg" in z:
+        bs, nb, dd = (int(v) for v in z["gcfg"])
+        grid_cfg = GridConfig(
+            voxel_size=float(z["gcfg_voxel_size"]),
+            block_shape=bs, num_blocks=nb, dir_dim=dd,
+        )
+    else:
+        # legacy checkpoint: recover geometry from array shapes; voxel_size
+        # was not recorded (NaN -> caller supplies it, e.g. from the CLI)
+        dd = round(len(z["directory"]) ** (1.0 / 3.0))
+        grid_cfg = GridConfig(
+            voxel_size=float("nan"),
+            block_shape=round(z["dist"].shape[1] ** (1.0 / 3.0)),
+            num_blocks=z["dist"].shape[0],
+            dir_dim=dd,
+        )
     poses = []
     if "pose_stamps" in z:
         for ts, R, t in zip(z["pose_stamps"], z["pose_R"], z["pose_t"]):
@@ -83,4 +109,5 @@ def load_state(path: str):
         "vis": vis,
         "counter": int(z["counter"]),
         "poses": poses,
+        "grid_cfg": grid_cfg,
     }

@@ -74,3 +74,35 @@ def test_scan3d_checkpoint_resume_equivalence(tmp_path):
         assert sa == sb
         np.testing.assert_allclose(Ra, Rb, atol=1e-6)
         np.testing.assert_allclose(taa, tbb, atol=1e-6)
+
+
+def test_grown_grid_config_roundtrip(tmp_path):
+    """A checkpoint taken after directory growth restores the grown
+    GridConfig (a stale dir_dim would mis-linearize every key on resume)."""
+    import dataclasses
+
+    gcfg = GridConfig(voxel_size=0.02, num_blocks=128, dir_dim=16)
+    grid = vg.create(gcfg)
+    coords = jnp.asarray([[1, 2, 3]], jnp.int32)
+    grid = vg.insert_keys(grid, vg.pack_key(coords, gcfg), gcfg)
+    grid, gcfg = vg.grow_directory(grid, gcfg)  # dir_dim 16 -> 32
+
+    path = str(tmp_path / "state.npz")
+    ckpt.save_state(path, grid, counter=1, grid_cfg=gcfg)
+    state = ckpt.load_state(path)
+    gc = state["grid_cfg"]
+    assert gc.dir_dim == 32
+    assert gc.num_blocks == 128
+    assert abs(gc.voxel_size - 0.02) < 1e-9
+    # lookups against the restored grid with the restored cfg resolve
+    lin, present = vg.lookup_voxels(
+        state["grid"], vg.block_local_to_voxel(coords, gc), gc)
+    assert np.all(np.asarray(present))
+
+    # legacy checkpoint (no gcfg): geometry recovered from array shapes
+    ckpt.save_state(path, grid, counter=1)
+    state2 = ckpt.load_state(path)
+    gc2 = state2["grid_cfg"]
+    assert gc2.dir_dim == 32 and gc2.num_blocks == 128
+    import math
+    assert math.isnan(gc2.voxel_size)
