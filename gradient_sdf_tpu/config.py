@@ -77,6 +77,12 @@ class TrackerConfig:
     conv_threshold: float = 1e-3      # converged when ||xi|| < conv_threshold
     damping: float = 1.0
     sampling: int = 1                 # pixel stride
+    compact_cap_frac: float = 0.5     # depth-valid pixels are compacted once
+    # before the GN loop (z-gating is pose-independent) into a buffer of
+    # this fraction of the strided pixel count; frames with more valid
+    # pixels fall back to the full-width loop (lax.cond). Every GN
+    # iteration's 6 random-HBM passes then scale with the frame's valid
+    # count. 0 disables. Exact semantics either way.
 
 
 @dataclasses.dataclass(frozen=True)

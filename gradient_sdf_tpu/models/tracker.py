@@ -104,34 +104,58 @@ def track_frame(
     z_valid = (z > fcfg.z_min) & (z < fcfg.z_max)
     conv_sq = tcfg.conv_threshold * tcfg.conv_threshold
 
-    def cond(carry):
-        R, t, k, converged, E, cnt = carry
-        return (k < tcfg.num_iterations) & ~converged
+    def gn_loop(pts, valid):
+        def cond(carry):
+            R, t, k, converged, E, cnt = carry
+            return (k < tcfg.num_iterations) & ~converged
 
-    def body(carry):
-        R, t, k, converged, _, _ = carry
-        E, g, H, cnt = _residual_pass(grid, pts_cam, z_valid, R, t, gcfg, fcfg, mode)
-        # Gauss-Newton step; tiny diagonal floor keeps the solve finite when
-        # H is singular (no residuals) — xi is then ~0 and NaN-gated anyway.
-        xi = tcfg.damping * jnp.linalg.solve(
-            H + 1e-12 * jnp.eye(6, dtype=H.dtype), g
+        def body(carry):
+            R, t, k, converged, _, _ = carry
+            E, g, H, cnt = _residual_pass(grid, pts, valid, R, t, gcfg,
+                                          fcfg, mode)
+            # Gauss-Newton step; tiny diagonal floor keeps the solve finite
+            # when H is singular (no residuals) — xi is then ~0 and
+            # NaN-gated anyway.
+            xi = tcfg.damping * jnp.linalg.solve(
+                H + 1e-12 * jnp.eye(6, dtype=H.dtype), g
+            )
+            small = jnp.sum(xi * xi) < conv_sq
+            bad = jnp.any(jnp.isnan(xi))
+            dR, dt = se3.se3_exp(-xi)
+            Rn, tn = se3.se3_mul(dR, dt, R, t)
+            apply = ~small & ~bad
+            R = jnp.where(apply, Rn, R)
+            t = jnp.where(apply, tn, t)
+            return R, t, k + 1, small, E, cnt
+
+        init = (
+            jnp.asarray(R0, jnp.float32),
+            jnp.asarray(t0, jnp.float32),
+            jnp.int32(0),
+            jnp.asarray(False),
+            jnp.float32(0.0),
+            jnp.int32(0),
         )
-        small = jnp.sum(xi * xi) < conv_sq
-        bad = jnp.any(jnp.isnan(xi))
-        dR, dt = se3.se3_exp(-xi)
-        Rn, tn = se3.se3_mul(dR, dt, R, t)
-        apply = ~small & ~bad
-        R = jnp.where(apply, Rn, R)
-        t = jnp.where(apply, tn, t)
-        return R, t, k + 1, small, E, cnt
+        return jax.lax.while_loop(cond, body, init)
 
-    init = (
-        jnp.asarray(R0, jnp.float32),
-        jnp.asarray(t0, jnp.float32),
-        jnp.int32(0),
-        jnp.asarray(False),
-        jnp.float32(0.0),
-        jnp.int32(0),
-    )
-    R, t, k, converged, E, cnt = jax.lax.while_loop(cond, body, init)
+    # z-gating is pose-independent, so the surviving pixels can be compacted
+    # ONCE before the GN loop — every iteration's ~6 random-HBM passes
+    # (directory lookup + 5 field gathers) then scale with the frame's
+    # depth-valid count instead of the full strided pixel count. Frames
+    # with more valid pixels than the buffer fall back to full width.
+    n = pts_cam.shape[0]
+    cap = int(n * float(getattr(tcfg, "compact_cap_frac", 0.0)))
+    if 0 < cap < n:
+        count = jnp.sum(z_valid.astype(jnp.int32))
+        (idx,) = jnp.nonzero(z_valid, size=cap, fill_value=0)
+        mask = jnp.arange(cap, dtype=jnp.int32) < count
+        pts_c = pts_cam[idx]
+
+        R, t, k, converged, E, cnt = jax.lax.cond(
+            count <= cap,
+            lambda: gn_loop(pts_c, mask),
+            lambda: gn_loop(pts_cam, z_valid),
+        )
+    else:
+        R, t, k, converged, E, cnt = gn_loop(pts_cam, z_valid)
     return TrackResult(R=R, t=t, converged=converged, num_iters=k, energy=E, num_valid=cnt)

@@ -26,8 +26,16 @@ Performance design (measured rationale in PERF_NOTES.md):
     full-width burst the surviving rays are compacted (jnp.nonzero) into
     successively smaller fixed-capacity buffers and marched there; a round
     that would overflow its capacity falls back to full width (lax.cond)
-    rather than dropping rays. Bisection + the final polish run compacted
-    on the HIT rays only.
+    rather than dropping rays. Refinement runs compacted on the HIT rays
+    only.
+  * The march carries the field values at the crossing-bracket endpoints,
+    so refinement is a FREE secant interpolation between the bracket
+    voxels' center projections (the classic TSDF crossing interpolation,
+    made march-path-independent) — measured 2x MORE accurate (median
+    0.15 vs 0.31 voxels on the synthetic sphere) than the 5 bisection
+    rounds (10 gathers) it replaced; `bisect_steps` (default 2) tightens
+    the bracket first so windowed and unwindowed marches bracket the same
+    voxel pair.
 
 Empty-space hierarchy: outside allocated blocks the field is unknown but —
 by construction of fusion (`MapGradPixelSdf.cpp:101-116`) — every point
@@ -98,6 +106,11 @@ class _MarchState(NamedTuple):
     lo: jax.Array      # crossing bracket
     hi: jax.Array
     found: jax.Array   # bool
+    v_lo: jax.Array    # march-field value at lo (valid iff v_lo_ok)
+    v_hi: jax.Array    # march-field value at hi (>= 0 at a crossing)
+    v_lo_ok: jax.Array  # bool: lo probe was an observed voxel
+    v_prev: jax.Array  # march-field value at s_prev (carried)
+    v_prev_ok: jax.Array  # bool: s_prev probe was observed
 
 
 def _render_fields(grid: vg.VoxelGrid, gcfg: GridConfig):
@@ -188,6 +201,9 @@ def _march(march, dir2, rays: _Rays, state: _MarchState, max_steps: int,
         crossed = observed & (phi >= 0.0) & ~st.found
         lo = jnp.where(crossed, st.s_prev, st.lo)
         hi = jnp.where(crossed, st.s, st.hi)
+        v_lo = jnp.where(crossed, st.v_prev, st.v_lo)
+        v_hi = jnp.where(crossed, phi, st.v_hi)
+        v_lo_ok = jnp.where(crossed, st.v_prev_ok, st.v_lo_ok)
         found = st.found | crossed
         # step policy (each level is a superset guarantee — an absent
         # block/cell cannot contain the truncation band):
@@ -216,9 +232,13 @@ def _march(march, dir2, rays: _Rays, state: _MarchState, max_steps: int,
                 ),
             ),
         )
-        s_new = jnp.where(found | (st.s > rays.s_end), st.s, st.s + step)
+        stay = found | (st.s > rays.s_end)
+        s_new = jnp.where(stay, st.s, st.s + step)
         s_prev = jnp.where(found, st.s_prev, st.s)
-        return k + 1, _MarchState(s_new, s_prev, lo, hi, found)
+        v_prev = jnp.where(found, st.v_prev, phi)
+        v_prev_ok = jnp.where(found, st.v_prev_ok, observed)
+        return k + 1, _MarchState(s_new, s_prev, lo, hi, found,
+                                  v_lo, v_hi, v_lo_ok, v_prev, v_prev_ok)
 
     _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
     return st
@@ -240,7 +260,7 @@ def raycast(
     s_lo: Optional[jax.Array] = None,   # [N] per-ray march window start
     s_hi: Optional[jax.Array] = None,   # [N] per-ray march window end
     max_steps: int = 128,
-    bisect_steps: int = 5,
+    bisect_steps: int = 2,
     burst_steps: int = 12,
     compact_divisors: tuple = (8, 64),
     refine: bool = True,
@@ -269,8 +289,11 @@ def raycast(
         ox=origins[:, 0], oy=origins[:, 1], oz=origins[:, 2],
         dx=dirs[:, 0], dy=dirs[:, 1], dz=dirs[:, 2], s_end=s_end,
     )
-    state = _MarchState(s=s0, s_prev=s0, lo=s0, hi=s0,
-                        found=jnp.zeros((n,), bool))
+    zf = jnp.zeros((n,), jnp.float32)
+    zb = jnp.zeros((n,), bool)
+    state = _MarchState(s=s0, s_prev=s0, lo=s0, hi=s0, found=zb,
+                        v_lo=zf, v_hi=zf, v_lo_ok=zb,
+                        v_prev=zf, v_prev_ok=zb)
 
     # round schedule: a burst (pre-compacted to N/2 when windows can
     # exclude rays up front), then compacted straggler rounds — early
@@ -307,6 +330,9 @@ def raycast(
                 lo=state.lo[idx], hi=state.hi[idx],
                 # padded entries are marked found so they don't march
                 found=state.found[idx] | ~mask,
+                v_lo=state.v_lo[idx], v_hi=state.v_hi[idx],
+                v_lo_ok=state.v_lo_ok[idx],
+                v_prev=state.v_prev[idx], v_prev_ok=state.v_prev_ok[idx],
             )
             out = _march(march, dir2, _gather_rays(rays, idx), sub, steps,
                          gcfg, fcfg)
@@ -319,6 +345,11 @@ def raycast(
                 s=put(state.s, out.s), s_prev=put(state.s_prev, out.s_prev),
                 lo=put(state.lo, out.lo), hi=put(state.hi, out.hi),
                 found=put(state.found, out.found & mask),
+                v_lo=put(state.v_lo, out.v_lo),
+                v_hi=put(state.v_hi, out.v_hi),
+                v_lo_ok=put(state.v_lo_ok, out.v_lo_ok & mask),
+                v_prev=put(state.v_prev, out.v_prev),
+                v_prev_ok=put(state.v_prev_ok, out.v_prev_ok & mask),
             )
 
         def full_width(state, steps=steps):
@@ -339,13 +370,24 @@ def raycast(
             hit=found,
         )
 
-    def _refine(rays_c: _Rays, lo, hi):
-        """Bisection (march field, 2 gathers/iter) + straight-through
-        Newton/IFT polish; one semi-implicit query serves both polish and
-        the output normal. Returns (s_hit, pts [.,3], normal [.,3])."""
+    def _refine(rays_c: _Rays, lo, hi, v_lo, v_hi, v_lo_ok):
+        """Value-tracking bisection (march field, 2 gathers/iter) + a final
+        secant interpolation + straight-through Newton/IFT polish; one
+        semi-implicit query serves both polish and the output normal.
+        Returns (s_hit, pts [.,3], normal [.,3]).
+
+        The march carries the field values at the bracket endpoints, so the
+        classic TSDF crossing interpolation (linear between the last
+        free-space dist and the first non-negative dist, KinectFusion-style)
+        comes for free; each optional bisection round halves the bracket
+        AND refreshes the endpoint values. Measured (PERF_NOTES.md): the
+        secant at bisect_steps=2 beats plain midpoint at bisect_steps=5,
+        saving 6 compacted march-field gathers per render; a Newton step on
+        the SEMI-IMPLICIT field instead was 3x worse (its grad_scale-biased
+        zero level is offset from the dist-field zero)."""
 
         def bisect(_, carry):
-            lo, hi = carry
+            lo, hi, v_lo, v_hi, v_lo_ok = carry
             mid = 0.5 * (lo + hi)
             px = rays_c.ox + mid * rays_c.dx
             py = rays_c.oy + mid * rays_c.dy
@@ -353,14 +395,53 @@ def raycast(
             val, observed, _, _ = _march_probe(march, dir2, px, py, pz, gcfg)
             before = ~observed | (val < 0.0)  # still in free space
             lo = jnp.where(before, mid, lo)
+            v_lo = jnp.where(before, val, v_lo)
+            v_lo_ok = jnp.where(before, observed, v_lo_ok)
             hi = jnp.where(before, hi, mid)
-            return lo, hi
+            v_hi = jnp.where(before, v_hi, val)
+            return lo, hi, v_lo, v_hi, v_lo_ok
 
-        lo, hi = jax.lax.fori_loop(0, bisect_steps, bisect, (lo, hi))
+        lo, hi, v_lo, v_hi, v_lo_ok = jax.lax.fori_loop(
+            0, bisect_steps, bisect, (lo, hi, v_lo, v_hi, v_lo_ok)
+        )
+
+        # secant (false-position) estimate where both endpoint values are
+        # usable; bracket midpoint otherwise. The interpolation runs
+        # between the bracket voxels' CENTER projections onto the ray, not
+        # the probe positions: the march field is constant per voxel, so
+        # probe positions are march-path-dependent noise while the center
+        # projections make the result identical for every march that
+        # brackets the same voxel pair (windowed and unwindowed renders
+        # agree exactly off the silhouette tails).
+        inv_vs = 1.0 / gcfg.voxel_size
+
+        def s_of_center(s):
+            px = rays_c.ox + s * rays_c.dx
+            py = rays_c.oy + s * rays_c.dy
+            pz = rays_c.oz + s * rays_c.dz
+            cx = jnp.round(px * inv_vs) * gcfg.voxel_size
+            cy = jnp.round(py * inv_vs) * gcfg.voxel_size
+            cz = jnp.round(pz * inv_vs) * gcfg.voxel_size
+            # dirs are unit vectors: the center's closest ray parameter
+            return ((cx - rays_c.ox) * rays_c.dx
+                    + (cy - rays_c.oy) * rays_c.dy
+                    + (cz - rays_c.oz) * rays_c.dz)
+
+        s_lo_c = s_of_center(lo)
+        s_hi_c = s_of_center(hi)
+        dv = v_hi - v_lo
+        use_sec = (v_lo_ok & (v_lo < 0.0) & (v_hi >= 0.0) & (dv > 1e-12)
+                   & (s_hi_c > s_lo_c))
+        s_star = jnp.where(
+            use_sec,
+            s_lo_c + (s_hi_c - s_lo_c) * (-v_lo) / jnp.where(use_sec, dv,
+                                                             1.0),
+            0.5 * (lo + hi),
+        )
 
         # one differentiable Newton/IFT step from the stop-gradient'ed
-        # bracket midpoint (module docstring)
-        s_mid = jax.lax.stop_gradient(0.5 * (lo + hi))
+        # secant point (module docstring)
+        s_mid = jax.lax.stop_gradient(s_star)
         o_c = jnp.stack([rays_c.ox, rays_c.oy, rays_c.oz], axis=-1)
         d_c = jnp.stack([rays_c.dx, rays_c.dy, rays_c.dz], axis=-1)
         pts_mid = o_c + s_mid[..., None] * d_c
@@ -375,10 +456,10 @@ def raycast(
         safe = (w_mid > 0.0) & (denom > 0.0)
         denom_f = jnp.maximum(denom, 0.25 * fcfg.grad_scale)
         s_ift = s_mid - phi_lin / denom_f
-        # straight-through: VALUE = bisection midpoint (the bracket
-        # converges on the macro zero crossing), GRADIENT = the IFT
-        # expression. Using the IFT value directly would inject the
-        # O(voxel) jump residual phi(s_mid) into the depth estimate.
+        # straight-through: VALUE = the secant estimate (the march field's
+        # macro zero crossing), GRADIENT = the IFT expression. Using the
+        # IFT value directly was measured 3x less accurate — the
+        # semi-implicit field's zero level is offset from the dist field's.
         s_hit = jnp.where(safe,
                           s_mid + s_ift - jax.lax.stop_gradient(s_ift),
                           s_mid)
@@ -396,7 +477,9 @@ def raycast(
 
     def refine_compacted(state):
         s_c, pts_c, nrm_c = _refine(_gather_rays(rays, hidx),
-                                    state.lo[hidx], state.hi[hidx])
+                                    state.lo[hidx], state.hi[hidx],
+                                    state.v_lo[hidx], state.v_hi[hidx],
+                                    state.v_lo_ok[hidx])
         tgt = jnp.where(hmask, hidx, n)
         depth = jnp.zeros((n,), jnp.float32).at[tgt].set(s_c, mode="drop")
         points = jnp.zeros((n, 3), jnp.float32).at[tgt].set(pts_c,
@@ -406,7 +489,8 @@ def raycast(
         return depth, points, normal
 
     def refine_full(state):
-        return _refine(rays, state.lo, state.hi)
+        return _refine(rays, state.lo, state.hi,
+                       state.v_lo, state.v_hi, state.v_lo_ok)
 
     depth, points, normal = jax.lax.cond(
         n_hit <= hit_cap, refine_compacted, refine_full, state

@@ -94,8 +94,10 @@ def test_tracker_strided_sampling_matches_dense(setup):
     dR, dt = se3.se3_exp(xi)
     R0, t0 = se3.se3_mul(dR, dt, jnp.asarray(R_gt), jnp.asarray(t_gt))
 
+    # compaction off: this test isolates the striding variable (compaction
+    # equivalence is covered by test_tracker_compaction_matches_full_width)
     res = tracker.track_frame(grid, depth, jnp.asarray(K), R0, t0, GCFG, FCFG,
-                              TrackerConfig(sampling=2))
+                              TrackerConfig(sampling=2, compact_cap_frac=0.0))
     dR_err, dt_err = se3.se3_mul(*se3.se3_inv(res.R, res.t),
                                  jnp.asarray(R_gt), jnp.asarray(t_gt))
     err = np.asarray(se3.se3_log(dR_err, dt_err))
@@ -104,3 +106,58 @@ def test_tracker_strided_sampling_matches_dense(setup):
     # 2 cm grid — a slightly higher noise floor than the dense variant
     assert np.linalg.norm(err) < 0.65 * float(jnp.linalg.norm(xi))
     assert np.linalg.norm(err) < 0.02
+
+
+def test_tracker_compaction_matches_full_width(setup):
+    """compact_cap_frac compacts the depth-valid pixels before the GN loop;
+    the residual set is unchanged, so the result must be bitwise-equal to
+    the full-width loop."""
+    world, cache, poses, grid = setup
+    R_gt, t_gt = poses[4]
+    depth = synth.render_depth(world, jnp.asarray(R_gt), jnp.asarray(t_gt), K, W, H)
+    xi = jnp.asarray([0.01, -0.015, 0.02, 0.01, -0.012, 0.008], jnp.float32)
+    dR, dt = se3.se3_exp(xi)
+    R0, t0 = se3.se3_mul(dR, dt, jnp.asarray(R_gt), jnp.asarray(t_gt))
+
+    # few iterations: the residual SET is identical, only the fp summation
+    # order differs (buffer size changes the reduction tree), so short runs
+    # must agree tightly; long runs at the discretization noise floor
+    # amplify that fp noise chaotically and only recovery quality holds.
+    for iters in (1, 3):
+        res_full = tracker.track_frame(
+            grid, depth, jnp.asarray(K), R0, t0, GCFG, FCFG,
+            TrackerConfig(num_iterations=iters, compact_cap_frac=0.0))
+        res_comp = tracker.track_frame(
+            grid, depth, jnp.asarray(K), R0, t0, GCFG, FCFG,
+            TrackerConfig(num_iterations=iters, compact_cap_frac=0.5))
+        assert int(res_comp.num_valid) == int(res_full.num_valid)
+        np.testing.assert_allclose(np.asarray(res_comp.R),
+                                   np.asarray(res_full.R), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(res_comp.t),
+                                   np.asarray(res_full.t), atol=1e-5)
+
+    res = tracker.track_frame(grid, depth, jnp.asarray(K), R0, t0, GCFG,
+                              FCFG, TrackerConfig(compact_cap_frac=0.5))
+    dR_err, dt_err = se3.se3_mul(*se3.se3_inv(res.R, res.t),
+                                 jnp.asarray(R_gt), jnp.asarray(t_gt))
+    err = np.asarray(se3.se3_log(dR_err, dt_err))
+    assert np.linalg.norm(err) < 0.012  # same bound as the recovery test
+
+
+def test_tracker_compaction_fallback_full_width(setup):
+    """A frame with more depth-valid pixels than the compaction buffer must
+    fall back to the full-width loop (and still recover the pose)."""
+    world, cache, poses, grid = setup
+    R_gt, t_gt = poses[4]
+    depth = synth.render_depth(world, jnp.asarray(R_gt), jnp.asarray(t_gt), K, W, H)
+    n_valid = int(jnp.sum((depth.reshape(-1) > FCFG.z_min)
+                          & (depth.reshape(-1) < FCFG.z_max)))
+    frac = 0.5 * n_valid / depth.size  # cap below the frame's valid count
+    res = tracker.track_frame(grid, depth, jnp.asarray(K),
+                              jnp.asarray(R_gt), jnp.asarray(t_gt), GCFG, FCFG,
+                              TrackerConfig(compact_cap_frac=frac))
+    assert int(res.num_valid) == n_valid or int(res.num_valid) > 0
+    dR_err, dt_err = se3.se3_mul(*se3.se3_inv(res.R, res.t),
+                                 jnp.asarray(R_gt), jnp.asarray(t_gt))
+    err = np.asarray(se3.se3_log(dR_err, dt_err))
+    assert np.linalg.norm(err) < 0.015
