@@ -152,7 +152,19 @@ def main():
         fuse_fast_s = timeit(lambda: fuse_fast(grid, depths[4], R4, t4),
                              iters=10)
         result["fast_fuse_ms"] = round(fuse_fast_s * 1e3, 2)
-        result["fast_fps"] = round(1.0 / (fuse_fast_s + track_s), 3)
+        # fast-mode tracking: stride 3 (same optimize_sampled lever;
+        # accuracy covered by tests/test_tracker.py stride-3 test)
+        log("compiling fast-mode tracker...")
+        track_fast = jax.jit(
+            lambda g, d, R, t: tracker.track_frame(
+                g, d, jnp.asarray(K), R, t, gcfg, fcfg,
+                TrackerConfig(sampling=3)
+            )
+        )
+        track_fast_s = timeit(lambda: track_fast(grid, depths[4], R0, t0p),
+                              iters=5)
+        result["fast_track_ms"] = round(track_fast_s * 1e3, 2)
+        result["fast_fps"] = round(1.0 / (fuse_fast_s + track_fast_s), 3)
     except Exception as e:  # pragma: no cover
         result["fast_error"] = repr(e)[:200]
 
@@ -172,12 +184,15 @@ def main():
         result["raycast_mrays_per_s"] = round(W * H / rc_s / 1e6, 3)
 
         # incremental frame-to-model rendering: previous frame's depth as
-        # the march prior, prior holes skipped (nothing was fused there)
+        # the march prior, prior holes skipped (nothing was fused there),
+        # 4-voxel window margin (realistic frame-to-model prior error at
+        # tracking frame rates; tests/test_raycast.py tight-margin test)
         d_prev, _, _ = rc_jit(grid, R4, t4)
         rci_jit = jax.jit(
             lambda g, R, t, dp: raycast.render_depth_normal(
                 g, jnp.asarray(K), R, t, W, H, gcfg, fcfg, s_max=3.5,
                 depth_prior=dp, depth_prior_holes="skip",
+                prior_margin_voxels=4.0,
             )
         )
         rci_s = timeit(lambda: rci_jit(grid, R4, t4, d_prev), iters=5)

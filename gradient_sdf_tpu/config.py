@@ -55,12 +55,13 @@ class FusionConfig:
     # but never reads it (the pixel loop uses raw `depth_`, :85-89), so
     # parity default is OFF; ON gives the denoised variant the reference
     # apparently intended.
-    compact_chunk_rays: int = 32 * 1024  # fusion processes valid pixels in
+    compact_chunk_rays: int = 16 * 1024  # fusion processes valid pixels in
     # compacted chunks of this many rays (adaptive work: cost scales with
     # the frame's valid-pixel count instead of H*W). 0 = disabled
-    # (single full-frame pass). Exact semantics either way. Measured cost
-    # per chunk ~ 0.69 ms/kray + 2.5 ms fixed (PERF_NOTES.md): 32k chunks
-    # quantize sparse frames well while costing dense VGA frames <5%.
+    # (single full-frame pass). Exact semantics either way. Measured
+    # (PERF_NOTES.md): cost ~ 0.69 ms/kray + ~1 ms/chunk fixed; 16k chunks
+    # beat 32k (less last-chunk padding) and 8k (fixed cost dominates) on
+    # the VGA bench scene.
     fusion_stride: int = 1            # integrate every s-th pixel's ray walk
     # (rows and columns). The reference fuses every pixel (parity default 1);
     # stride 2 quarters the scatter traffic while the ~2-4 mm pixel

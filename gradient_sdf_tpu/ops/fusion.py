@@ -219,55 +219,15 @@ def _sample_frame(
     return _ray_samples(rays, R, t, gcfg, fcfg)
 
 
-def _apply_samples(grid: vg.VoxelGrid, s: FrameSamples, slot, gcfg: GridConfig,
-                   accumulate_gradients: bool = True):
-    """Scatter contributions into per-frame accumulators and merge.
+def _alloc_slots(grid: vg.VoxelGrid, s: FrameSamples, gcfg: GridConfig):
+    """Block allocation + scatter-slot lookup for one sample batch.
 
-    Five separate 1-channel scatter-adds: a single [N, 5] multi-channel
-    scatter was measured SLOWER (415 vs 329 ms/frame) — the 5-wide minor
-    payload axis hits the same bad-layout path as all other small-minor-dim
-    shapes on TPU (PERF_NOTES.md).
+    On steady-state batches (no unseen blocks) the whole claim/insert pass
+    and its re-lookup are skipped — the initial lookup both answers
+    "anything new?" and provides the scatter slots.
 
-    Returns (grid, touched_lin, ok) where touched_lin/ok feed the optional
-    visibility update."""
-    ok = slot >= 0
-    nvox = grid.num_blocks * grid.voxels_per_block
-    lin = jnp.where(ok, slot * gcfg.voxels_per_block + s.local_lin, nvox)
-
-    shape = grid.dist.shape
-    # five separate f32 scatter-adds: an [N, 5] multi-channel payload and
-    # complex64 pairing were both measured/observed worse (slow layout path
-    # resp. pathological compile) — see PERF_NOTES.md
-    w_acc = jnp.zeros((nvox,), jnp.float32).at[lin].add(s.w, mode="drop")
-    wd_acc = jnp.zeros((nvox,), jnp.float32).at[lin].add(s.wd, mode="drop")
-    w_acc = w_acc.reshape(shape)
-    wd_acc = wd_acc.reshape(shape)
-
-    new_weight = grid.weight + w_acc
-    new_dist = jnp.where(
-        new_weight > 0.0,
-        (grid.dist * grid.weight + wd_acc) / jnp.maximum(new_weight, 1e-30),
-        grid.dist,
-    )
-    if accumulate_gradients:
-        gx = jnp.zeros((nvox,), jnp.float32).at[lin].add(s.wn_x, mode="drop")
-        gy = jnp.zeros((nvox,), jnp.float32).at[lin].add(s.wn_y, mode="drop")
-        gz = jnp.zeros((nvox,), jnp.float32).at[lin].add(s.wn_z, mode="drop")
-        grid = grid._replace(
-            grad_x=grid.grad_x + gx.reshape(shape),
-            grad_y=grid.grad_y + gy.reshape(shape),
-            grad_z=grid.grad_z + gz.reshape(shape),
-        )
-    grid = grid._replace(dist=new_dist, weight=new_weight)
-    return grid, lin, ok
-
-
-def _integrate_samples(grid, s: FrameSamples, gcfg, accumulate_gradients,
-                       vis, kf_slot):
-    """Allocate + scatter + merge one batch of samples (and mark vis)."""
-    # block allocation: on steady-state batches (no unseen blocks) the whole
-    # claim/insert pass and its re-lookup are skipped — the initial lookup
-    # both answers "anything new?" and provides the scatter slots
+    Returns (grid, lin, ok): flat voxel indices (out-of-map samples pointed
+    one past the end so `mode="drop"` discards them) and their validity."""
     slot0 = vg.lookup_keys(grid, s.keys, gcfg)
     need = (s.keys >= 0) & (slot0 < 0)
 
@@ -280,22 +240,84 @@ def _integrate_samples(grid, s: FrameSamples, gcfg, accumulate_gradients,
 
     grid, slot = jax.lax.cond(jnp.any(need), _with_insert, _no_insert, grid)
     grid = grid._replace(oob_samples=grid.oob_samples + s.oob)
+    ok = slot >= 0
+    nvox = grid.num_blocks * grid.voxels_per_block
+    lin = jnp.where(ok, slot * gcfg.voxels_per_block + s.local_lin, nvox)
+    return grid, lin, ok
 
-    grid, lin, ok = _apply_samples(grid, s, slot, gcfg, accumulate_gradients)
+
+def _zero_accs(grid: vg.VoxelGrid, accumulate_gradients: bool):
+    """Fresh flat per-frame accumulators (w, wd, wn_x, wn_y, wn_z)."""
+    nvox = grid.num_blocks * grid.voxels_per_block
+    z = jnp.zeros((nvox,), jnp.float32)
+    n_grad = 3 if accumulate_gradients else 0
+    return (z, z) + (z,) * n_grad
+
+
+def _scatter_samples(accs, lin, s: FrameSamples):
+    """Scatter one batch's contributions into the frame accumulators.
+
+    Five separate 1-channel scatter-adds: a single [N, 5] multi-channel
+    scatter was measured SLOWER (415 vs 329 ms/frame) — the 5-wide minor
+    payload axis hits the same bad-layout path as all other small-minor-dim
+    shapes on TPU (PERF_NOTES.md); complex64 pairing was a pathological
+    compile. Accumulators are *carried* across compacted chunks so the
+    dense zero-init/merge passes run once per frame, not once per chunk."""
+    vals = (s.w, s.wd, s.wn_x, s.wn_y, s.wn_z)
+    return tuple(a.at[lin].add(v, mode="drop")
+                 for a, v in zip(accs, vals))
+
+
+def _merge_accumulators(grid: vg.VoxelGrid, accs, accumulate_gradients: bool):
+    """One dense merge of the frame accumulators into the running state:
+    W' = W + sum(w), d' = (d W + sum(w trunc_sdf)) / W', g' = g + sum(w R n)
+    — the order-independent fixed point of the reference's sequential
+    running mean (MapGradPixelSdf.cpp:108-116)."""
+    shape = grid.dist.shape
+    w_acc = accs[0].reshape(shape)
+    wd_acc = accs[1].reshape(shape)
+    new_weight = grid.weight + w_acc
+    new_dist = jnp.where(
+        new_weight > 0.0,
+        (grid.dist * grid.weight + wd_acc) / jnp.maximum(new_weight, 1e-30),
+        grid.dist,
+    )
+    if accumulate_gradients:
+        grid = grid._replace(
+            grad_x=grid.grad_x + accs[2].reshape(shape),
+            grad_y=grid.grad_y + accs[3].reshape(shape),
+            grad_z=grid.grad_z + accs[4].reshape(shape),
+        )
+    return grid._replace(dist=new_dist, weight=new_weight)
+
+
+def _merge_vis(grid: vg.VoxelGrid, vis, touched_flat, kf_slot):
+    """OR the frame's touched-voxel mask into keyframe-slot `kf_slot` of the
+    visibility bitfield (negative slot = not a keyframe -> unchanged)."""
+    shape = grid.dist.shape
+    touched = touched_flat.reshape(shape).astype(jnp.uint32)
+    kslot = jnp.asarray(kf_slot, jnp.int32)
+    word = jnp.clip(kslot // 32, 0, vis.shape[-1] - 1)
+    bit = (kslot % 32).astype(jnp.uint32)
+    mark = jnp.where(kslot >= 0, touched << bit, jnp.uint32(0))
+    onehot = (jnp.arange(vis.shape[-1], dtype=jnp.int32) == word)
+    return vis | jnp.where(onehot, mark[..., None], jnp.uint32(0))
+
+
+def _integrate_samples(grid, s: FrameSamples, gcfg, accumulate_gradients,
+                       vis, kf_slot):
+    """Allocate + scatter + merge one batch of samples (and mark vis)."""
+    grid, lin, ok = _alloc_slots(grid, s, gcfg)
+    accs = _zero_accs(grid, accumulate_gradients)
+    accs = _scatter_samples(accs, lin, s)  # scatters len(accs) fields
+    grid = _merge_accumulators(grid, accs, accumulate_gradients)
 
     if vis is not None:
         nvox = grid.num_blocks * grid.voxels_per_block
-        shape = grid.dist.shape
         touched = jnp.zeros((nvox,), jnp.int32).at[lin].max(
             ok.astype(jnp.int32), mode="drop"
         )
-        touched = touched.reshape(shape).astype(jnp.uint32)
-        kslot = jnp.asarray(kf_slot, jnp.int32)
-        word = jnp.clip(kslot // 32, 0, vis.shape[-1] - 1)
-        bit = (kslot % 32).astype(jnp.uint32)
-        mark = jnp.where(kslot >= 0, touched << bit, jnp.uint32(0))
-        onehot = (jnp.arange(vis.shape[-1], dtype=jnp.int32) == word)
-        vis = vis | jnp.where(onehot, mark[..., None], jnp.uint32(0))
+        vis = _merge_vis(grid, vis, touched, kf_slot)
     return grid, vis
 
 
@@ -363,22 +385,35 @@ def fuse_frame(
         idx = jnp.pad(idx, (0, pad))
 
     has_vis = vis is not None
-    vis_c = vis if has_vis else jnp.zeros((0,), jnp.uint32)
+    nvox = grid.num_blocks * grid.voxels_per_block
+    accs0 = _zero_accs(grid, accumulate_gradients)
+    touched0 = (jnp.zeros((nvox,), jnp.int32) if has_vis
+                else jnp.zeros((0,), jnp.int32))
 
+    # accumulators are CARRIED across chunks and merged once after the loop
+    # (algebraically identical to per-chunk merging — the running weighted
+    # mean is linear in the accumulators — but the dense zero-init/merge
+    # passes over all num_blocks*B^3 voxels leave the loop, dropping the
+    # fixed per-chunk cost from ~2.5 ms to the random-pass cost alone)
     def cond(carry):
-        start, _, _ = carry
+        start = carry[0]
         return start < count
 
     def body(carry):
-        start, g, v = carry
+        start, g, accs, touched = carry
         rc = _gather_ray_chunk(rays, idx, start, chunk, count)
         s = _ray_samples(rc, R, t, gcfg, fcfg)
-        g, v2 = _integrate_samples(
-            g, s, gcfg, accumulate_gradients, v if has_vis else None, kf_slot
-        )
-        return start + chunk, g, (v2 if has_vis else v)
+        g, lin, ok = _alloc_slots(g, s, gcfg)
+        accs = _scatter_samples(accs, lin, s)
+        if has_vis:
+            touched = touched.at[lin].max(ok.astype(jnp.int32), mode="drop")
+        return start + chunk, g, accs, touched
 
-    _, grid, vis_out = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), grid, vis_c)
+    _, grid, accs, touched = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), grid, accs0, touched0)
     )
-    return (grid, vis_out) if has_vis else grid
+    grid = _merge_accumulators(grid, accs, accumulate_gradients)
+    if has_vis:
+        vis = _merge_vis(grid, vis, touched, kf_slot)
+        return grid, vis
+    return grid

@@ -557,6 +557,7 @@ def render_depth_normal(
     prior_miss_skip: bool = True,
     depth_prior: Optional[jax.Array] = None,
     depth_prior_holes: str = "march",
+    prior_margin_voxels: Optional[float] = None,
     s_min: float = 0.1,
     s_max: float = 5.0,
     **kw,
@@ -575,7 +576,13 @@ def render_depth_normal(
 
     `depth_prior` (optional [H, W] camera-z image, e.g. the previous fused
     frame's depth in frame-to-model loops) replaces the prior pass: each
-    ray marches a +-(T + margin) window around its prior depth.
+    ray marches a +-margin window around its prior depth, where margin is
+    `prior_margin_voxels * voxel_size` if given and T + 2 voxels otherwise.
+    The default is safe against any prior error below the truncation
+    distance; frame-to-model loops at tracking frame rates move the
+    reprojected surface by a few voxels at most, so 4-6 voxels roughly
+    halves the march probes per ray (measured, PERF_NOTES.md) — rays whose
+    window misses the moved surface fall back to a miss for that frame.
     `depth_prior_holes` decides prior-hole (depth 0) rays: "march" (default,
     safe) marches them over the full range; "skip" declares them misses —
     the incremental frame-to-model policy when holes mean "nothing fused
@@ -587,6 +594,8 @@ def render_depth_normal(
 
     s_lo = s_hi = None
     if depth_prior is not None:
+        if prior_margin_voxels is not None:
+            margin = float(prior_margin_voxels) * gcfg.voxel_size
         sp = (depth_prior / inv_hnorm.reshape(height, width)).reshape(-1)
         ok = depth_prior.reshape(-1) > 0
         if depth_prior_holes == "skip":

@@ -205,3 +205,30 @@ def test_depth_prior_hole_skip(fused):
     assert both.sum() > 0.95 * h0.sum()
     err = np.abs(np.asarray(d1)[both] - np.asarray(d0)[both])
     assert np.quantile(err, 0.995) < 1.5 * GCFG.voxel_size
+
+
+def test_depth_prior_tight_margin(fused):
+    """prior_margin_voxels=4 with a prior perturbed by up to 2 voxels
+    (realistic frame-to-model prior error) still brackets the surface:
+    covered pixels render the same depth as the from-scratch pass."""
+    world, poses, grid = fused
+    R, t = poses[3]
+    kw = dict(s_min=0.3, s_max=2.5)
+    d0, _, h0 = raycast.render_depth_normal(
+        grid, jnp.asarray(K), jnp.asarray(R), jnp.asarray(t), W, H, GCFG, FCFG,
+        prior_stride=0, **kw)
+    rng = np.random.default_rng(7)
+    noise = rng.uniform(-2.0, 2.0, size=(H, W)).astype(np.float32)
+    d_prior = jnp.asarray(
+        np.where(np.asarray(h0), np.asarray(d0) + noise * GCFG.voxel_size, 0.0)
+    )
+    d1, _, h1 = raycast.render_depth_normal(
+        grid, jnp.asarray(K), jnp.asarray(R), jnp.asarray(t), W, H, GCFG, FCFG,
+        depth_prior=d_prior, depth_prior_holes="skip",
+        prior_margin_voxels=4.0, **kw)
+    h0 = np.asarray(h0); h1 = np.asarray(h1)
+    assert not np.any(h1 & ~h0)
+    both = h0 & h1
+    assert both.sum() > 0.93 * h0.sum()
+    err = np.abs(np.asarray(d1)[both] - np.asarray(d0)[both])
+    assert np.quantile(err, 0.99) < 1.5 * GCFG.voxel_size

@@ -161,3 +161,25 @@ def test_tracker_compaction_fallback_full_width(setup):
                                  jnp.asarray(R_gt), jnp.asarray(t_gt))
     err = np.asarray(se3.se3_log(dR_err, dt_err))
     assert np.linalg.norm(err) < 0.015
+
+
+def test_tracker_stride3_recovers_pose(setup):
+    """sampling=3 (the bench fast-mode stride; same reference
+    optimize_sampled lever) still recovers the pose. At this test's 160x120
+    that leaves ~2k residuals against a 2 cm grid, so the bound is looser
+    than stride 2; at VGA the residual count matches this test's stride-1."""
+    world, cache, poses, grid = setup
+    R_gt, t_gt = poses[4]
+    depth = synth.render_depth(world, jnp.asarray(R_gt), jnp.asarray(t_gt), K, W, H)
+    xi = jnp.asarray([0.01, -0.015, 0.02, 0.01, -0.012, 0.008], jnp.float32)
+    dR, dt = se3.se3_exp(xi)
+    R0, t0 = se3.se3_mul(dR, dt, jnp.asarray(R_gt), jnp.asarray(t_gt))
+
+    res = tracker.track_frame(grid, depth, jnp.asarray(K), R0, t0, GCFG, FCFG,
+                              TrackerConfig(sampling=3))
+    dR_err, dt_err = se3.se3_mul(*se3.se3_inv(res.R, res.t),
+                                 jnp.asarray(R_gt), jnp.asarray(t_gt))
+    err = np.asarray(se3.se3_log(dR_err, dt_err))
+    assert int(res.num_valid) > 100
+    assert np.linalg.norm(err) < 0.8 * float(jnp.linalg.norm(xi))
+    assert np.linalg.norm(err) < 0.025
