@@ -62,6 +62,15 @@ def build_parser():
                    help="integrate every s-th pixel's ray walk (1 = every "
                         "pixel like the reference; 2 quarters fusion cost, "
                         "per-voxel means stay unbiased)")
+    p.add_argument("--fast", action="store_true",
+                   help="real-time preset: stride-2 fusion + stride-3 "
+                        "tracking (>30 fps at VGA on one v5e chip, "
+                        "PERF_NOTES.md). Engages at VGA+ resolution only "
+                        "(below that strided pixels under-cover the voxel "
+                        "band). Non-parity: per-voxel integration weights "
+                        "scale by ~1/4, tracking uses ~1/9 of the pixels "
+                        "(accuracy covered by tests/test_tracker.py stride "
+                        "tests). Explicit --sampling/--fusion-stride win")
     p.add_argument("--eval-gt", dest="eval_gt", default="groundtruth.txt",
                    help="TUM-format GT trajectory (relative to --input) used "
                         "ONLY for ATE evaluation of the tracked poses; "
@@ -81,12 +90,17 @@ def build_parser():
 def run_scan(args) -> dict:
     T = Timer()
     cfg = cfg_mod.preset(args.data_type)
+    fusion_stride = max(1, getattr(args, "fusion_stride", 1))
+    # --fast's stride-2 fusion engages lazily at first frame (VGA+ only:
+    # below that the strided pixel footprint exceeds the voxel size and
+    # punches holes in the truncation band); explicit --fusion-stride wins
+    fast_fusion = getattr(args, "fast", False) and fusion_stride == 1
     cfg = dataclasses.replace(
         cfg,
         grid=dataclasses.replace(cfg.grid, voxel_size=args.voxel_size),
         fusion=dataclasses.replace(
             cfg.fusion, trunc_voxels=args.trunc, z_max=args.zmax,
-            fusion_stride=max(1, getattr(args, "fusion_stride", 1)),
+            fusion_stride=fusion_stride,
         ),
     )
 
@@ -165,10 +179,18 @@ def run_scan(args) -> dict:
             # effective residual resolution to fire reliably, so stride 2
             # only engages when the post-stride image still has that many
             # pixels (~77k residuals at 640x480)
-            s = args.sampling or (2 if frame.depth.shape[1] >= 640 else 1)
+            fast_s = 3 if getattr(args, "fast", False) else 2
+            s = args.sampling or (fast_s if frame.depth.shape[1] >= 640
+                                  else 1)
             cfg = dataclasses.replace(
                 cfg, tracker=dataclasses.replace(cfg.tracker, sampling=s)
             )
+            if fast_fusion and frame.depth.shape[1] >= 640:
+                new_f = dataclasses.replace(sdf_map.cfg.fusion,
+                                            fusion_stride=2)
+                cfg = dataclasses.replace(cfg, fusion=new_f)
+                sdf_map.cfg = dataclasses.replace(sdf_map.cfg, fusion=new_f)
+                sdf_map._fuse_jit = None
             sampling_set = True
         print(f"Working on frame: {i}")
         if args.profile and n_frames == 2 and not profiled:

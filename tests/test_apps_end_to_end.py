@@ -116,3 +116,34 @@ def test_scan3d_base_sdf_ablation(synth_dir, tmp_path):
     # base-sdf dump has dist/weight but no gradient files
     assert os.path.isfile(os.path.join(results, "gradient_sdf_sdf_d.txt"))
     assert not os.path.isfile(os.path.join(results, "gradient_sdf_sdf_n0.txt"))
+
+
+def test_scan3d_fast_preset(synth_dir, tmp_path):
+    """--fast at sub-VGA resolution: the preset's strides are resolution-
+    guarded (strided pixels would under-cover the 2 cm voxel band here), so
+    the run must behave exactly like the parity path and still track."""
+    results = str(tmp_path / "out_fast")
+    args = scan3d.build_parser().parse_args([
+        "--input", synth_dir, "--results", results,
+        "--pose-file", "nonexistent.txt",
+        "--data-type", "synth", "--voxel-size", "0.02", "--trunc", "5",
+        "--last", "3", "--fast",
+    ])
+    metrics = scan3d.run_scan(args)
+    assert metrics["frames"] == 4
+    assert metrics["num_blocks_active"] > 0
+    traj = tumio.read_trajectory(os.path.join(results, "_poses.txt"))
+    gt = tumio.read_trajectory(os.path.join(synth_dir, "gt_poses.txt"))
+
+    def rel(traj, i):
+        from gradient_sdf_tpu.utils import se3
+        import jax.numpy as jnp
+
+        R0, t0 = jnp.asarray(traj[0][1]), jnp.asarray(traj[0][2])
+        Ri, ti = jnp.asarray(traj[i][1]), jnp.asarray(traj[i][2])
+        Rr, tr = se3.se3_mul(*se3.se3_inv(R0, t0), Ri, ti)
+        return np.asarray(Rr), np.asarray(tr)
+
+    _, tr_est = rel(traj, 3)
+    _, tr_gt = rel(gt, 3)
+    assert np.linalg.norm(tr_est - tr_gt) < 0.2 * max(np.linalg.norm(tr_gt), 1e-9) + 0.02
