@@ -1,0 +1,175 @@
+"""Golden parity harness: run the COMPILED C++ reference and this framework
+on the same synthetic dataset and compare outputs numerically.
+
+This closes SURVEY.md §7's "parity harness" item with the real thing — not
+oracle re-implementations but the reference binary itself
+(`cpp/depth_scanning/src/main_scan_3d.cpp`), built by
+`parity/build_reference.sh` (thin standard-semantics shims for its
+not-checked-out header-only submodules; see parity/refshim/).
+
+Protocol (both configs on one make_synth VGA dataset; the reference
+hardcodes its NormalEstimator to 640x480, main_scan_3d.cpp:183):
+  1. GT-pose fusion-only + --save-sdf  -> voxel-by-voxel dump comparison
+     (dist/weight/gradients over the identical bounding box).
+  2. Tracking mode (no pose file)      -> TUM trajectory comparison.
+
+Measured reference per-frame times are reported as the CPU baseline
+(non-OMP build, single thread on this host).
+
+Usage: python parity/run_golden_parity.py [--binary PATH] [--work DIR]
+Exits nonzero if any parity threshold fails.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEFAULT_BIN = "/tmp/depth_scanning/bin/Scan3D"
+
+# Thresholds (measured headroom ~2-10x on the 6-frame VGA protocol; see
+# PARITY.md "Golden parity" for the observed values they gate):
+MAX_VOXEL_SET_DELTA = 0.01   # fraction of observed voxels unique to one side
+MAX_W_MISMATCH_FRAC = 0.10   # voxels whose sample multiset differs (fp ties)
+MAX_D_SAMEW = 1e-3           # max |dist diff| where multisets agree (m)
+MAX_TRAJ_T = 2e-3            # max translation diff per frame (m)
+MAX_TRAJ_Q = 2e-3            # max per-component quaternion diff
+
+
+def run(cmd, **kw):
+    print("+", " ".join(cmd), flush=True)
+    return subprocess.run(cmd, check=True, capture_output=True, text=True,
+                          **kw)
+
+
+def load_traj(path):
+    rows = [l.split() for l in open(path) if l.strip()]
+    return np.array([[float(x) for x in r[1:]] for r in rows])
+
+
+def main():
+    ap = argparse.ArgumentParser("golden-parity")
+    ap.add_argument("--binary", default=DEFAULT_BIN)
+    ap.add_argument("--work", default="/tmp/golden_parity")
+    ap.add_argument("--frames", type=int, default=6)
+    opts = ap.parse_args()
+
+    if not os.path.isfile(opts.binary):
+        print(f"reference binary missing at {opts.binary}; "
+              f"run parity/build_reference.sh first", file=sys.stderr)
+        return 2
+
+    os.makedirs(opts.work, exist_ok=True)
+    data = os.path.join(opts.work, "data")
+    py = [sys.executable, "-c"]
+
+    def run_py(code):
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        return subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.config.update('jax_platforms','cpu')\n" + code],
+            check=True, env=env, cwd=REPO, capture_output=True, text=True)
+
+    if not os.path.isfile(os.path.join(data, "gt_poses.txt")):
+        run_py(
+            "import runpy, sys\n"
+            f"sys.argv=['make_synth','--out',{data!r},'--frames',"
+            f"'{opts.frames}','--seed','2','--width','640','--height','480',"
+            "'--arc-deg','4','--no-noise']\n"
+            "runpy.run_module('gradient_sdf_tpu.apps.make_synth',"
+            "run_name='__main__')")
+
+    report = {}
+
+    # ---- 1. GT-pose fusion golden run -----------------------------------
+    ref_out = os.path.join(opts.work, "ref_gt") + "/"
+    our_out = os.path.join(opts.work, "ours_gt")
+    os.makedirs(ref_out, exist_ok=True)
+    t0 = time.time()
+    r = run([opts.binary, "--input", data + "/", "--results", ref_out,
+             "--pose-file", "gt_poses.txt", "--data-type", "synth",
+             "--scan-type", "grad-sdf", "--voxel-size", "0.02",
+             "--trunc", "5", "--save-sdf"])
+    report["ref_gt_wall_s"] = round(time.time() - t0, 2)
+    fuse_ms = [float(m) for m in re.findall(
+        r"Integrate depth data into Sdf: ([0-9.]+)ms", r.stdout)]
+    report["ref_fuse_ms_median"] = round(float(np.median(fuse_ms)), 2)
+
+    run_py(
+        "import runpy, sys\n"
+        f"sys.argv=['scan3d','--input',{data!r},'--results',{our_out!r},"
+        "'--pose-file','gt_poses.txt','--data-type','synth',"
+        "'--voxel-size','0.02','--trunc','5','--save-sdf']\n"
+        "runpy.run_module('gradient_sdf_tpu.apps.scan3d',"
+        "run_name='__main__')")
+
+    sys.path.insert(0, REPO)
+    from gradient_sdf_tpu.analysis.gradient_analysis import load_sdf_dump
+
+    ref = load_sdf_dump(os.path.join(ref_out, "gradient_sdf"))
+    ours = load_sdf_dump(os.path.join(our_out, "gradient_sdf"))
+    assert ref["d"].shape == ours["d"].shape, \
+        f"bounding boxes differ: {ref['d'].shape} vs {ours['d'].shape}"
+    wr, wo = ref["w"], ours["w"]
+    both = (wr > 0) & (wo > 0)
+    either = (wr > 0) | (wo > 0)
+    set_delta = 1.0 - both.sum() / max(either.sum(), 1)
+    w_mis = float((np.abs(wr - wo)[both] > 0.01).mean())
+    same_w = both & (np.abs(wr - wo) <= 0.01)
+    d_err = float(np.abs(ref["d"] - ours["d"])[same_w].max())
+    report.update(observed_ref=int((wr > 0).sum()),
+                  observed_ours=int((wo > 0).sum()),
+                  voxel_set_delta=round(float(set_delta), 5),
+                  w_mismatch_frac=round(w_mis, 5),
+                  d_max_same_weight=float(d_err))
+
+    # ---- 2. Tracking-mode trajectory ------------------------------------
+    ref_out_t = os.path.join(opts.work, "ref_track") + "/"
+    our_out_t = os.path.join(opts.work, "ours_track")
+    os.makedirs(ref_out_t, exist_ok=True)
+    r = run([opts.binary, "--input", data + "/", "--results", ref_out_t,
+             "--pose-file", "nonexistent.txt", "--data-type", "synth",
+             "--scan-type", "grad-sdf", "--voxel-size", "0.02",
+             "--trunc", "5"])
+    track_ms = [float(m) for m in re.findall(
+        r"Point optimization: ([0-9.]+)ms", r.stdout)]
+    report["ref_track_ms_median"] = round(float(np.median(track_ms)), 2)
+    report["ref_cpu_fps"] = round(
+        1e3 / (np.median(track_ms) + np.median(fuse_ms)), 2)
+
+    run_py(
+        "import runpy, sys\n"
+        f"sys.argv=['scan3d','--input',{data!r},'--results',{our_out_t!r},"
+        "'--pose-file','nonexistent.txt','--data-type','synth',"
+        "'--voxel-size','0.02','--trunc','5','--sampling','1']\n"
+        "runpy.run_module('gradient_sdf_tpu.apps.scan3d',"
+        "run_name='__main__')")
+
+    tr = load_traj(os.path.join(ref_out_t, "_poses.txt"))
+    to = load_traj(os.path.join(our_out_t, "_poses.txt"))
+    assert len(tr) == len(to), f"frame counts differ: {len(tr)} vs {len(to)}"
+    t_diff = float(np.linalg.norm(tr[:, :3] - to[:, :3], axis=1).max())
+    q_diff = float(np.abs(tr[:, 3:7] - to[:, 3:7]).max())
+    report["traj_t_max"] = t_diff
+    report["traj_q_max"] = q_diff
+
+    print(json.dumps(report, indent=2))
+    ok = (set_delta <= MAX_VOXEL_SET_DELTA
+          and w_mis <= MAX_W_MISMATCH_FRAC
+          and d_err <= MAX_D_SAMEW
+          and t_diff <= MAX_TRAJ_T
+          and q_diff <= MAX_TRAJ_Q)
+    print("PARITY " + ("OK" if ok else "FAIL"))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,34 @@
+"""Golden parity vs the COMPILED C++ reference (opt-in).
+
+Skipped unless the reference binary has been built with
+`parity/build_reference.sh` (out-of-tree; /root/reference stays read-only).
+The harness (`parity/run_golden_parity.py`) runs both implementations on
+one VGA synthetic dataset and gates:
+  * GT-pose fusion: identical SDF bounding box, >=99% shared observed-voxel
+    set, <=10% voxels with a differing sample multiset (fp boundary ties),
+    dist equal to <=1e-3 m where multisets agree;
+  * tracking: per-frame trajectory within 2 mm / 2e-3 quaternion.
+Observed values are ~2-10x inside these gates (PARITY.md "Golden parity").
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+BIN = "/tmp/depth_scanning/bin/Scan3D"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.skipif(not os.path.isfile(BIN),
+                    reason="reference binary not built "
+                           "(run parity/build_reference.sh)")
+def test_golden_parity_scan3d():
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "parity", "run_golden_parity.py"),
+         "--binary", BIN],
+        capture_output=True, text=True, timeout=1700,
+    )
+    assert r.returncode == 0, f"golden parity failed:\n{r.stdout[-3000:]}\n{r.stderr[-2000:]}"
+    assert "PARITY OK" in r.stdout
