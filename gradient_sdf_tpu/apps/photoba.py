@@ -57,13 +57,22 @@ def build_parser():
 
 
 def sample_keyframes(items: list, max_num: int) -> list:
-    """Evenly subsample to <= max_num keeping the last
-    (`sampleKeyFrame`, main_photo_ba.cpp:319-347)."""
-    if len(items) <= max_num:
+    """Evenly subsample to <= max_num keeping the last — exact mirror of
+    `sampleKeyFrame` (main_photo_ba.cpp:319-347): max_num-1 picks at
+    float32-accumulated stride len/(max_num-1), truncated to int, plus the
+    last item. (A linspace+round variant picked {0,2,5} where the reference
+    picks {0,3,5} on 6->3 — caught by the golden parity harness.)"""
+    if len(items) < max_num:
         return items
-    idx = np.linspace(0, len(items) - 1, max_num).round().astype(int)
-    idx[-1] = len(items) - 1
-    return [items[i] for i in sorted(set(idx.tolist()))]
+    n = max_num - 1
+    step = np.float32(len(items)) / np.float32(n)
+    out = []
+    f = np.float32(0.0)
+    for _ in range(n):
+        out.append(items[int(f)])
+        f += step
+    out.append(items[-1])
+    return out
 
 
 def run_photoba(args) -> dict:

@@ -160,6 +160,12 @@ def preset(data_type: str, **overrides) -> PipelineConfig:
             cfg,
             fusion=dataclasses.replace(cfg.fusion, trunc_voxels=10.0),
             camera=CameraConfig(fx=525.0, fy=525.0, cx=319.5, cy=239.5),
+            # synth never overrides the reference's sharp_threshold
+            # declaration default 1e-4 (main_photo_ba.cpp:78,111-113), so
+            # effectively every tracked frame is keyframe-eligible — caught
+            # by the golden parity harness (keyframe sets differed)
+            photo_ba=dataclasses.replace(cfg.photo_ba,
+                                         sharpness_threshold=1e-4),
         )
     elif data_type in ("rw", "redwood"):
         cfg = dataclasses.replace(
