@@ -161,12 +161,48 @@ def main():
     report["traj_t_max"] = t_diff
     report["traj_q_max"] = q_diff
 
+    # ---- 3. PhotoBA: keyframe policy + pre-BA pose parity ----------------
+    # (BA step magnitudes differ by a documented reference channel-order
+    # inconsistency, PARITY.md "Golden parity" — not gated here)
+    ba_bin = os.path.join(os.path.dirname(os.path.dirname(opts.binary)),
+                          "..", "photometric_opt", "bin", "PhotoBA")
+    ba_bin = os.path.normpath(ba_bin)
+    kf_ok = None
+    if os.path.isfile(ba_bin):
+        ref_ba = os.path.join(opts.work, "ref_ba") + "/"
+        our_ba = os.path.join(opts.work, "ours_ba")
+        os.makedirs(ref_ba, exist_ok=True)
+        run([ba_bin, "--input", data + "/", "--results", ref_ba,
+             "--data-type", "synth", "--voxel-size", "0.02",
+             "--trunc", "5", "--key-frame", "3"])
+        run_py(
+            "import runpy, sys\n"
+            f"sys.argv=['photoba','--input',{data!r},'--results',{our_ba!r},"
+            "'--data-type','synth','--voxel-size','0.02','--trunc','5',"
+            "'--key-frame','3']\n"
+            "runpy.run_module('gradient_sdf_tpu.apps.photoba',"
+            "run_name='__main__')")
+        sel = "selected_frame_poses_before_optimization.txt"
+        kr = load_traj(os.path.join(ref_ba, sel))
+        ko = load_traj(os.path.join(our_ba, sel))
+        stamps_r = [l.split()[0] for l in open(os.path.join(ref_ba, sel))]
+        stamps_o = [l.split()[0] for l in open(os.path.join(our_ba, sel))]
+        report["kf_stamps_ref"] = stamps_r
+        report["kf_stamps_ours"] = stamps_o
+        kf_t = float(np.linalg.norm(kr[:, :3] - ko[:, :3], axis=1).max()) \
+            if len(kr) == len(ko) else float("inf")
+        report["kf_pose_t_max"] = kf_t
+        kf_ok = (stamps_r == stamps_o) and kf_t <= MAX_TRAJ_T
+    else:
+        report["photoba_skipped"] = f"binary missing at {ba_bin}"
+
     print(json.dumps(report, indent=2))
     ok = (set_delta <= MAX_VOXEL_SET_DELTA
           and w_mis <= MAX_W_MISMATCH_FRAC
           and d_err <= MAX_D_SAMEW
           and t_diff <= MAX_TRAJ_T
-          and q_diff <= MAX_TRAJ_Q)
+          and q_diff <= MAX_TRAJ_Q
+          and kf_ok is not False)
     print("PARITY " + ("OK" if ok else "FAIL"))
     return 0 if ok else 1
 

@@ -7,7 +7,11 @@ one VGA synthetic dataset and gates:
   * GT-pose fusion: identical SDF bounding box, >=99% shared observed-voxel
     set, <=10% voxels with a differing sample multiset (fp boundary ties),
     dist equal to <=1e-3 m where multisets agree;
-  * tracking: per-frame trajectory within 2 mm / 2e-3 quaternion.
+  * tracking: per-frame trajectory within 2 mm / 2e-3 quaternion;
+  * PhotoBA (when its binary is built): identical selected-keyframe sets
+    and pre-BA keyframe poses within 2 mm (BA step magnitudes are NOT
+    gated — the reference channel-order inconsistency documented in
+    PARITY.md makes them incomparable by design).
 Observed values are ~2-10x inside these gates (PARITY.md "Golden parity").
 """
 
