@@ -4,7 +4,9 @@ Headline: end-to-end Scan3D frame rate (track + fuse, 640x480, defaults
 matching the reference: trunc=5 voxels, 25-iteration GN cap) on one chip.
 vs_baseline is fps / 30: the BASELINE.md target is real-time (>30 fps)
 tracking on one v5e chip; the C++ reference publishes no numbers
-(BASELINE.json "published": {}).
+(BASELINE.json "published": {}). vs_measured_reference compares against
+the reference binary actually built and timed on this container's CPU by
+the golden parity harness (18.7 fps single-thread; PARITY.md).
 
 Secondary fields: fusion Mvoxel-updates/s, raycast Mrays/s.
 
@@ -134,6 +136,10 @@ def main():
         frame_s = track_s + fuse_s
         result["value"] = round(1.0 / frame_s, 3)
         result["vs_baseline"] = round(1.0 / frame_s / 30.0, 3)
+        # measured C++ reference on this container's CPU (golden parity
+        # harness, PARITY.md / BASELINE.md): 18.7 fps single-thread
+        result["ref_cpu_fps_measured"] = 18.7
+        result["vs_measured_reference"] = round(1.0 / frame_s / 18.7, 3)
     except Exception as e:  # pragma: no cover
         result["track_error"] = repr(e)[:200]
 
@@ -165,6 +171,8 @@ def main():
                               iters=5)
         result["fast_track_ms"] = round(track_fast_s * 1e3, 2)
         result["fast_fps"] = round(1.0 / (fuse_fast_s + track_fast_s), 3)
+        result["fast_vs_measured_reference"] = round(
+            1.0 / (fuse_fast_s + track_fast_s) / 18.7, 3)
     except Exception as e:  # pragma: no cover
         result["fast_error"] = repr(e)[:200]
 

@@ -145,7 +145,10 @@ def energy(problem: BAProblem, state: BAState, gcfg: GridConfig) -> jax.Array:
         (z, jnp.zeros_like(problem.grad), z[:, None]),
     )
     n_safe = jnp.maximum(n, 1.0)
-    e_per_vox = sAA[:, 0] - jnp.sum(sA * sA, axis=-1) / n_safe
+    # sum_i |A_i - mean|^2 = sum|A|^2 - |sum A|^2/N >= 0 exactly; the f32
+    # cancellation can leave a tiny negative when residuals ~ 0, so clamp
+    e_per_vox = jnp.maximum(
+        sAA[:, 0] - jnp.sum(sA * sA, axis=-1) / n_safe, 0.0)
     return jnp.sum(jnp.where(n > 0, e_per_vox, 0.0))
 
 

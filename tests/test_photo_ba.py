@@ -89,7 +89,10 @@ def test_energy_zero_for_perfect_consistency():
         t=jnp.stack([state.t[0], state.t[0]]),
     )
     e = float(photo_ba.energy(problem, state, GCFG))
-    assert e < 1e-8
+    # per-voxel energies are clamped at 0 (f32 cancellation guard), so the
+    # signed rounding noise no longer cancels across voxels — the total is
+    # a one-sided ~1e-10/voxel fp floor rather than ~0
+    assert e < 1e-5
 
 
 def test_energy_decreases_under_optimization():
