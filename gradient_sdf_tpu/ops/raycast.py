@@ -596,6 +596,13 @@ def render_depth_normal(
     if depth_prior is not None:
         if prior_margin_voxels is not None:
             margin = float(prior_margin_voxels) * gcfg.voxel_size
+        # prior windows bound every ray to a few probes, so the pre-compacted
+        # burst finishes them all and the straggler re-compaction rounds are
+        # pure overhead: default to burst-only. Measured (one v5e, VGA,
+        # 4-voxel margin): 89.5 -> 56.4 ms (3.4 -> 5.4 Mrays/s),
+        # bit-identical hits/depths (rays overflowing the burst's 3N/8
+        # compaction cap still fall back to a full-width march).
+        kw.setdefault("compact_divisors", ())
         sp = (depth_prior / inv_hnorm.reshape(height, width)).reshape(-1)
         ok = depth_prior.reshape(-1) > 0
         if depth_prior_holes == "skip":
