@@ -131,6 +131,33 @@ def main():
                   w_mismatch_frac=round(w_mis, 5),
                   d_max_same_weight=float(d_err))
 
+    # ---- 1b. Marching-cubes mesh parity (same fused map) -----------------
+    # The reference's transcribed-LUT MC vs our generated-table MC: vertex
+    # sets must coincide geometrically (the reference writes raw triangle
+    # soup, we dedup vertices — counts differ by design, PARITY.md).
+    from gradient_sdf_tpu.utils.ply import load_ply
+
+    def verts(path):
+        v = np.asarray(load_ply(path)["vertex"])
+        return (np.stack([v[n] for n in ("x", "y", "z")], -1)
+                if v.dtype.fields else v)
+
+    rv = verts(os.path.join(ref_out, "gradient_sdf_mesh_final.ply"))
+    ov = verts(os.path.join(our_out, "gradient_sdf_mesh_final.ply"))
+
+    def nn(a, b):
+        out = []
+        for i in range(0, len(a), 2000):
+            out.append(np.linalg.norm(
+                a[i:i + 2000, None, :] - b[None, :, :], axis=-1).min(1))
+        return np.concatenate(out)
+
+    d_ro, d_or = nn(rv, ov), nn(ov, rv)
+    report["mesh_ref2ours_p999"] = float(np.quantile(d_ro, 0.999))
+    report["mesh_ours2ref_max"] = float(d_or.max())
+    mesh_ok = (report["mesh_ref2ours_p999"] <= 0.25 * 0.02
+               and report["mesh_ours2ref_max"] <= 0.25 * 0.02)
+
     # ---- 2. Tracking-mode trajectory ------------------------------------
     ref_out_t = os.path.join(opts.work, "ref_track") + "/"
     our_out_t = os.path.join(opts.work, "ours_track")
@@ -202,6 +229,7 @@ def main():
           and d_err <= MAX_D_SAMEW
           and t_diff <= MAX_TRAJ_T
           and q_diff <= MAX_TRAJ_Q
+          and mesh_ok
           and kf_ok is not False)
     print("PARITY " + ("OK" if ok else "FAIL"))
     return 0 if ok else 1
