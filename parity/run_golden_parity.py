@@ -60,6 +60,10 @@ def main():
     ap.add_argument("--binary", default=DEFAULT_BIN)
     ap.add_argument("--work", default="/tmp/golden_parity")
     ap.add_argument("--frames", type=int, default=6)
+    ap.add_argument("--noisy", action="store_true",
+                    help="also run the 30-frame Kinect-noise ATE comparison "
+                         "(the fr1/desk-style accuracy protocol; ~7 extra "
+                         "minutes on this host)")
     opts = ap.parse_args()
 
     if not os.path.isfile(opts.binary):
@@ -223,6 +227,49 @@ def main():
     else:
         report["photoba_skipped"] = f"binary missing at {ba_bin}"
 
+    # ---- 4 (opt-in). Noisy-sequence tracking accuracy (ATE) --------------
+    ate_ok = None
+    if opts.noisy:
+        from gradient_sdf_tpu.utils import ate as ate_mod, tumio
+
+        ndata = os.path.join(opts.work, "data_noisy")
+        if not os.path.isfile(os.path.join(ndata, "gt_poses.txt")):
+            run_py(
+                "import runpy, sys\n"
+                f"sys.argv=['make_synth','--out',{ndata!r},'--frames','30',"
+                "'--seed','5','--width','640','--height','480',"
+                "'--arc-deg','2']\n"
+                "runpy.run_module('gradient_sdf_tpu.apps.make_synth',"
+                "run_name='__main__')")
+        ref_n = os.path.join(opts.work, "ref_noisy") + "/"
+        our_n = os.path.join(opts.work, "ours_noisy")
+        os.makedirs(ref_n, exist_ok=True)
+        run([opts.binary, "--input", ndata + "/", "--results", ref_n,
+             "--pose-file", "nonexistent.txt", "--data-type", "synth",
+             "--scan-type", "grad-sdf", "--voxel-size", "0.02",
+             "--trunc", "5"])
+        run_py(
+            "import runpy, sys\n"
+            f"sys.argv=['scan3d','--input',{ndata!r},'--results',{our_n!r},"
+            "'--pose-file','nonexistent.txt','--data-type','synth',"
+            "'--voxel-size','0.02','--trunc','5',"
+            "'--eval-gt','gt_poses.txt',"
+            f"'--metrics-json','{our_n}/m.json']\n"
+            "runpy.run_module('gradient_sdf_tpu.apps.scan3d',"
+            "run_name='__main__')")
+        gt = tumio.read_trajectory(os.path.join(ndata, "gt_poses.txt"))
+        est = tumio.read_trajectory(os.path.join(ref_n, "_poses.txt"))
+        r = ate_mod.evaluate_ate([(ts, t) for ts, _, t in est],
+                                 [(ts, np.asarray(t)) for ts, _, t in gt])
+        report["noisy_ate_ref"] = float(r.rmse)
+        m = json.load(open(os.path.join(our_n, "m.json")))
+        report["noisy_ate_ours"] = m.get("ate_rmse")
+        # parity: our ATE within 1.5x of the reference's (measured: 3.4 vs
+        # 3.3 mm), both under 1 cm on this 2 deg/frame, 60 cm-motion orbit
+        ate_ok = (report["noisy_ate_ours"] is not None
+                  and report["noisy_ate_ours"] <= max(
+                      1.5 * report["noisy_ate_ref"], 0.01))
+
     print(json.dumps(report, indent=2))
     ok = (set_delta <= MAX_VOXEL_SET_DELTA
           and w_mis <= MAX_W_MISMATCH_FRAC
@@ -230,7 +277,8 @@ def main():
           and t_diff <= MAX_TRAJ_T
           and q_diff <= MAX_TRAJ_Q
           and mesh_ok
-          and kf_ok is not False)
+          and kf_ok is not False
+          and ate_ok is not False)
     print("PARITY " + ("OK" if ok else "FAIL"))
     return 0 if ok else 1
 
