@@ -278,6 +278,7 @@ def run_scan(args) -> dict:
         "invalid_frames": invalid_frames,
         "num_blocks_active": int(sdf_map.grid.num_active),
         "overflow": bool(sdf_map.grid.overflow),
+        "growth_events": list(getattr(sdf_map, "growth_events", [])),
         "timers": T.summary(),
     }
 

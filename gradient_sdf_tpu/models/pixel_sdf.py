@@ -28,6 +28,7 @@ class PixelSdfMap:
         self.cfg = cfg
         self.grid = vg.create(cfg.grid)
         self.counter = 0
+        self.growth_events: list = []  # see GradSdfMap.growth_events
         self.cache: Optional[normals.NormalEstimatorCache] = None
         self._fuse_jit = None
 
@@ -70,12 +71,25 @@ class PixelSdfMap:
             self.grid, new_gcfg = vg.grow(self.grid, self.cfg.grid)
             self.cfg = dataclasses.replace(self.cfg, grid=new_gcfg)
             self._fuse_jit = None
-            print(f"Grid grown to {new_gcfg.num_blocks} blocks")
+            from ..utils.logging_util import get_logger
+
+            get_logger().warning("Grid grown to %d blocks",
+                                 new_gcfg.num_blocks)
+            self.growth_events.append(
+                {"frame": self.counter, "kind": "capacity",
+                 "num_blocks": int(new_gcfg.num_blocks)}
+            )
         if int(self.grid.oob_samples) > 0:
             import dataclasses
 
+            lost = int(self.grid.oob_samples)
             self.grid, new_gcfg, grew = vg.handle_oob_growth(
                 self.grid, self.cfg.grid)
+            self.growth_events.append(
+                {"frame": self.counter, "kind": "world_range",
+                 "dir_dim": int(new_gcfg.dir_dim), "oob_samples": lost,
+                 "grew": grew}
+            )
             if grew:
                 self.cfg = dataclasses.replace(self.cfg, grid=new_gcfg)
                 self._fuse_jit = None

@@ -590,19 +590,28 @@ def render_depth_normal(
     """
     origins, dirs, inv_hnorm = camera_rays(K, R, t, width, height)
     T = fcfg.trunc_voxels * gcfg.voxel_size
-    margin = T + 2.0 * gcfg.voxel_size
+    # margin applies to BOTH prior flavors (per-pixel depth prior and the
+    # coarse stride-prior windows below)
+    margin = (float(prior_margin_voxels) * gcfg.voxel_size
+              if prior_margin_voxels is not None
+              else T + 2.0 * gcfg.voxel_size)
 
     s_lo = s_hi = None
     if depth_prior is not None:
-        if prior_margin_voxels is not None:
-            margin = float(prior_margin_voxels) * gcfg.voxel_size
-        # prior windows bound every ray to a few probes, so the pre-compacted
-        # burst finishes them all and the straggler re-compaction rounds are
-        # pure overhead: default to burst-only. Measured (one v5e, VGA,
-        # 4-voxel margin): 89.5 -> 56.4 ms (3.4 -> 5.4 Mrays/s),
-        # bit-identical hits/depths (rays overflowing the burst's 3N/8
-        # compaction cap still fall back to a full-width march).
-        kw.setdefault("compact_divisors", ())
+        # Prior windows bound every WINDOWED ray to a few probes, so the
+        # pre-compacted burst finishes them all and the straggler
+        # re-compaction rounds are pure overhead: default to burst-only —
+        # but only when holes are skipped (the incremental frame-to-model
+        # mode). Under holes="march" hole rays march the full [s_min,s_max]
+        # range, the rationale doesn't hold, and a sparse prior would push
+        # every hole ray into the full-width fallback for the whole
+        # max_steps budget — keep the straggler rounds there. Measured
+        # (one v5e, VGA, 4-voxel margin, holes="skip"):
+        # 89.5 -> 56.4 ms (3.4 -> 5.4 Mrays/s), bit-identical hits/depths
+        # (rays overflowing the burst's 3N/8 compaction cap still fall
+        # back to a full-width march).
+        if depth_prior_holes == "skip":
+            kw.setdefault("compact_divisors", ())
         sp = (depth_prior / inv_hnorm.reshape(height, width)).reshape(-1)
         ok = depth_prior.reshape(-1) > 0
         if depth_prior_holes == "skip":

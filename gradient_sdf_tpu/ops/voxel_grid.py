@@ -407,19 +407,26 @@ MAX_DIR_DIM = 512  # 512^3 int32 = 536 MB spatial index
 def handle_oob_growth(grid: VoxelGrid, cfg: GridConfig):
     """Shared driver policy for out-of-range samples: grow the directory
     (factor 2, up to MAX_DIR_DIM) when fusion reported any, else warn and
-    clear the counter. Returns (grid, cfg, grew: bool)."""
+    clear the counter. Returns (grid, cfg, grew: bool). Events go through
+    the structured logger (utils.logging_util); callers that keep a
+    growth_events list (GradSdfMap/PixelSdfMap) also record them for
+    --metrics-json observability."""
+    from ..utils.logging_util import get_logger
+
     lost = int(grid.oob_samples)
     if lost == 0:
         return grid, cfg, False
     if cfg.dir_dim >= MAX_DIR_DIM:
-        print(f"WARNING: {lost} samples beyond the maximum world range "
-              f"(dir_dim={cfg.dir_dim}) were dropped")
+        get_logger().warning(
+            "%d samples beyond the maximum world range (dir_dim=%d) "
+            "were dropped", lost, cfg.dir_dim)
         return grid._replace(oob_samples=jnp.zeros((), jnp.int32)), cfg, False
     grid, cfg = grow_directory(grid, cfg)
     half = cfg.dir_dim // 2 * cfg.block_shape * cfg.voxel_size
-    print(f"Directory grown to dir_dim={cfg.dir_dim} "
-          f"(world range +-{half:.2f} m); {lost} out-of-range samples "
-          f"from the triggering frame were dropped")
+    get_logger().warning(
+        "Directory grown to dir_dim=%d (world range +-%.2f m); %d "
+        "out-of-range samples from the triggering frame were dropped",
+        cfg.dir_dim, half, lost)
     return grid, cfg, True
 
 

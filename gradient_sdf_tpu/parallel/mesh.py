@@ -3,10 +3,13 @@
 The reference's only parallelism is intra-process OpenMP (SURVEY.md §2);
 scale-out here is genuinely new design: a 2-D mesh with a `rays` axis
 (pixels/rays data-parallel — the analog of the reference's OMP pixel loops)
-and a `blocks` axis (voxel-block storage sharding — ZeRO-style: grid state
-lives sharded, is all-gathered for queries, and scatter contributions are
-reduce-scattered back). Collectives ride ICI within a slice; `jax.distributed`
-extends the same mesh across hosts over DCN.
+and a `blocks` axis (voxel-block storage sharding). Grid storage is
+RESIDENT-sharded on the block axis with owner-computes semantics
+(`parallel/sharding.py`): each device holds a contiguous shard of block
+slots, fusion contributions are merged into the owner via psum_scatter,
+and queries gather only the fields they touch — grid state is never
+materialized unsharded. Collectives ride ICI within a slice;
+`jax.distributed` extends the same mesh across hosts over DCN.
 """
 
 from __future__ import annotations

@@ -156,7 +156,15 @@ def test_tracker_compaction_fallback_full_width(setup):
     res = tracker.track_frame(grid, depth, jnp.asarray(K),
                               jnp.asarray(R_gt), jnp.asarray(t_gt), GCFG, FCFG,
                               TrackerConfig(compact_cap_frac=frac))
-    assert int(res.num_valid) == n_valid or int(res.num_valid) > 0
+    # the fallback must process the FULL residual set: its final-iteration
+    # residual count has to match an uncompacted run exactly and exceed the
+    # compaction cap (a silent truncation to cap would fail both)
+    res_ref = tracker.track_frame(grid, depth, jnp.asarray(K),
+                                  jnp.asarray(R_gt), jnp.asarray(t_gt), GCFG,
+                                  FCFG, TrackerConfig(compact_cap_frac=0.0))
+    cap = int(depth.size * frac)
+    assert int(res.num_valid) == int(res_ref.num_valid)
+    assert int(res.num_valid) > cap
     dR_err, dt_err = se3.se3_mul(*se3.se3_inv(res.R, res.t),
                                  jnp.asarray(R_gt), jnp.asarray(t_gt))
     err = np.asarray(se3.se3_log(dR_err, dt_err))
