@@ -59,6 +59,84 @@ def _kernel(idx_ref, val_ref, out_ref, *, chunk: int, rows: int):
     jax.lax.fori_loop(0, chunk, body, 0)
 
 
+def _multi_kernel(idx_ref, vrow_ref, out_ref, *, chunk: int, rows: int):
+    """Grid step: per sample, one row RMW accumulating ALL fields at once.
+
+    The payload row (128 lanes with the sample's fields pre-placed at its
+    destination's lane group by the XLA-side prep) is vector-loaded from
+    VMEM by sublane index; the RMW is a single (1, 128) add. Compared with
+    the 1-field kernel this amortizes the scalar-core serialization across
+    every field (VERDICT r2 item 2: lane-packed multi-field row)."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    def body(j, _):
+        row = idx_ref[j]
+
+        @pl.when((row >= 0) & (row < rows))
+        def _():
+            out_ref[pl.ds(row, 1), :] = (
+                out_ref[pl.ds(row, 1), :] + vrow_ref[pl.ds(j, 1), :]
+            )
+
+        return 0
+
+    jax.lax.fori_loop(0, chunk, body, 0)
+
+
+def scatter_add_multi(idx: jax.Array, vals: jax.Array, out_size: int,
+                      *, chunk: int = 1024, interpret: bool = False):
+    """Multi-field scatter-add in ONE pass: out[idx[j], f] += vals[j, f].
+
+    vals is [N, F] with F <= 8; each destination element owns an 8-lane
+    group (16 destinations per 128-lane row), so out_size destinations
+    need out_size/16 sublane rows resident in VMEM (32 B/destination —
+    ~500k destinations fit the ~16 MB VMEM). Indices outside
+    [0, out_size) are dropped. Returns [out_size, F] f32."""
+    n, f = vals.shape
+    assert f <= 8, f
+    groups = 16  # destinations per 128-lane row
+    rows = -(-out_size // groups)
+    if n == 0:
+        return jnp.zeros((out_size, f), jnp.float32)
+    pad = (-n) % chunk
+    if pad:
+        idx = jnp.pad(idx, (0, pad), constant_values=-1)
+        vals = jnp.pad(vals, ((0, pad), (0, 0)))
+    n_pad = n + pad
+    idx = idx.astype(jnp.int32)
+
+    # XLA-side prep (dense, ~2 vector passes over [N, 128]): place the F
+    # field values at the sample's destination lane group so the kernel's
+    # RMW is a pure vector add with no scalar value loads.
+    row_of = jnp.where((idx >= 0) & (idx < out_size), idx // groups, -1)
+    lane_base = (idx % groups) * 8
+    lanes = jnp.arange(LANES, dtype=jnp.int32)[None, :]
+    rel = lanes - lane_base[:, None]          # [N, 128]
+    vrow = jnp.zeros((n_pad, LANES), jnp.float32)
+    for k in range(f):
+        vrow = vrow + jnp.where(rel == k, vals[:, k:k + 1].astype(jnp.float32),
+                                0.0)
+
+    out = pl.pallas_call(
+        functools.partial(_multi_kernel, chunk=chunk, rows=rows),
+        grid=(n_pad // chunk,),
+        in_specs=[
+            pl.BlockSpec((chunk,), lambda i: (i,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((chunk, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, LANES), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        interpret=interpret,
+    )(row_of, vrow)
+    return out.reshape(rows * groups, 8)[:out_size, :f]
+
+
 def scatter_add_rows(idx: jax.Array, val: jax.Array, out_size: int,
                      *, chunk: int = 2048, interpret: bool = False):
     """out[idx[j]] += val[j] with out zero-initialized; idx outside

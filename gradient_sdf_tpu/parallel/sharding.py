@@ -260,6 +260,74 @@ def sharded_fuse_frame(mesh, grid, depth, cache, R, t, gcfg, fcfg):
 
 
 # ---------------------------------------------------------------------------
+# sharded rendering (rays are the embarrassingly parallel axis — SURVEY.md
+# §5.7 names ray sharding as the first scale-out axis)
+# ---------------------------------------------------------------------------
+
+
+def sharded_render_depth_normal(mesh, grid, K, R, t, width, height,
+                                gcfg, fcfg, *, s_min=0.1, s_max=5.0, **kw):
+    """Render depth/normal/hit images with RAYS sharded over the whole mesh
+    and the grid's per-voxel storage resident-sharded on the block axis.
+
+    The march gathers voxels at data-dependent positions every step, so
+    owner-computes would cost one collective per step; instead each device
+    all-gathers the per-voxel fields ONCE per render (tiled all_gather over
+    the block axis rides ICI, ~4 bytes x 5 fields x voxels) and sphere
+    traces its private ray slice with the stock single-device `raycast` —
+    identical results to an unsharded render, wall-clock ~1/n_devices.
+
+    Returns (depth [H,W], normal [H,W,3], hit [H,W]) replicated.
+    """
+    from ..ops import raycast as rc_mod
+
+    origins, dirs, inv_hnorm = rc_mod.camera_rays(K, R, t, width, height)
+    n = origins.shape[0]
+    n_dev = mesh.devices.size
+    pad = (-n) % n_dev
+    if pad:
+        origins = jnp.pad(origins, ((0, pad), (0, 0)))
+        # padded rays point along +z with s_end = s_min: they march zero
+        # steps and are dropped after the shard_map
+        dirs = jnp.concatenate(
+            [dirs, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32),
+                            (pad, 1))], axis=0)
+    ray_spec = P((RAY_AXIS, BLOCK_AXIS))
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(grid_block_specs(), ray_spec, ray_spec),
+        out_specs=(ray_spec, ray_spec, ray_spec),
+        # the march while_loop mixes replicated-constant carry inits with
+        # ray-varying updates; skip the varying-axes consistency check
+        # (results are per-ray local — no cross-device reduction to get
+        # wrong)
+        check_vma=False,
+    )
+    def render(grid_shard, o, d):
+        full = grid_shard._replace(
+            dist=jax.lax.all_gather(grid_shard.dist, BLOCK_AXIS, tiled=True),
+            weight=jax.lax.all_gather(
+                grid_shard.weight, BLOCK_AXIS, tiled=True),
+            grad_x=jax.lax.all_gather(
+                grid_shard.grad_x, BLOCK_AXIS, tiled=True),
+            grad_y=jax.lax.all_gather(
+                grid_shard.grad_y, BLOCK_AXIS, tiled=True),
+            grad_z=jax.lax.all_gather(
+                grid_shard.grad_z, BLOCK_AXIS, tiled=True),
+        )
+        res = rc_mod.raycast(full, o, d, gcfg, fcfg,
+                             s_min=s_min, s_max=s_max, **kw)
+        return res.depth, res.normal, res.hit
+
+    depth, normal, hit = render(grid, origins, dirs)
+    depth = (depth[:n] * inv_hnorm).reshape(height, width)
+    return (depth, normal[:n].reshape(height, width, 3),
+            hit[:n].reshape(height, width))
+
+
+# ---------------------------------------------------------------------------
 # sharded photometric bundle adjustment
 # ---------------------------------------------------------------------------
 

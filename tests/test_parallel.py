@@ -157,3 +157,38 @@ def test_resident_block_sharding_persists(scene):
     )
     np.testing.assert_allclose(np.asarray(Rp), np.asarray(res.R), atol=2e-5)
     np.testing.assert_allclose(np.asarray(tp), np.asarray(res.t), atol=2e-5)
+
+
+@pytest.mark.parametrize("block_parallel", [1, 2])
+def test_sharded_render_matches_single_device(scene, block_parallel):
+    """Ray-sharded rendering against the block-sharded grid must reproduce
+    the single-device render bit-for-bit semantics (same march, same
+    refinement); rays are the embarrassingly parallel axis."""
+    from gradient_sdf_tpu.ops import raycast
+
+    world, cache, poses = scene
+    mesh = mesh_mod.make_mesh(8, block_parallel=block_parallel)
+    grid = vg.create(GCFG)
+    for i in range(3):
+        R, t = poses[i]
+        depth = synth.render_depth(world, jnp.asarray(R), jnp.asarray(t),
+                                   K, W, H)
+        grid = fusion.fuse_frame(grid, depth, cache, jnp.asarray(R),
+                                 jnp.asarray(t), GCFG, FCFG)
+
+    R, t = poses[1]
+    d_ref, n_ref, h_ref = raycast.render_depth_normal(
+        grid, jnp.asarray(K), jnp.asarray(R), jnp.asarray(t), W, H,
+        GCFG, FCFG, s_max=2.5, prior_stride=0,
+    )
+    par = sharding.shard_grid(mesh, grid)
+    d_par, n_par, h_par = sharding.sharded_render_depth_normal(
+        mesh, par, jnp.asarray(K), jnp.asarray(R), jnp.asarray(t), W, H,
+        GCFG, FCFG, s_max=2.5,
+    )
+    assert int(jnp.sum(h_ref)) > 100  # scene actually renders
+    np.testing.assert_array_equal(np.asarray(h_par), np.asarray(h_ref))
+    np.testing.assert_allclose(np.asarray(d_par), np.asarray(d_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(n_par), np.asarray(n_ref),
+                               atol=1e-5)
