@@ -35,8 +35,15 @@ SPHERE_COLORS = np.array(
 )
 
 
-def render_color(world, R, t, K, width, height):
-    """Flat-albedo color render: each pixel takes its nearest sphere's color."""
+def render_color(world, R, t, K, width, height, gray_texture: bool = False):
+    """Albedo render: each pixel takes its nearest sphere's flat color, or —
+    with `gray_texture` — a smooth GRAYSCALE world-anchored pattern (equal
+    RGB channels). Grayscale texture is the BA-convergence parity fixture:
+    with identical channels the reference's channel-reversed image
+    gradients (PhotometricOptimizer.cpp:102-126) coincide with
+    residual-consistent ones, so full-BA iterations are directly
+    comparable; the spatial texture gives the photometric energy interior
+    gradients (flat albedo constrains BA only at silhouettes)."""
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
     from ..utils import se3
 
@@ -53,6 +60,19 @@ def render_color(world, R, t, K, width, height):
     z = jnp.where(hit & (z > 0.0), z, jnp.inf)
     sidx = jnp.argmin(z, axis=-1)
     any_hit = jnp.any(jnp.isfinite(z), axis=-1)
+    if gray_texture:
+        z_hit = jnp.min(z, axis=-1)
+        zs = jnp.where(any_hit, z_hit, 0.0)
+        # world-space hit point (pose-consistent texture across frames)
+        px = zs * cu, zs * cv, zs
+        pw = se3.se3_apply(
+            R, t, jnp.stack([px[0], px[1], px[2]], axis=-1))
+        g = (0.55
+             + 0.15 * jnp.sin(31.0 * pw[..., 0])
+             + 0.15 * jnp.sin(29.0 * pw[..., 1])
+             + 0.15 * jnp.sin(27.0 * pw[..., 2]))
+        img = jnp.where(any_hit, g, 0.0)[..., None] * jnp.ones((3,), jnp.float32)
+        return img
     colors = jnp.asarray(SPHERE_COLORS[: world.centers.shape[0]])
     img = jnp.where(any_hit[..., None], colors[sidx], 0.0)
     return img
@@ -73,7 +93,8 @@ def write_png8(path, img):
 
 
 def generate(out: str, frames: int = 90, seed: int = 0, width: int = 640,
-             height: int = 480, noise: bool = True, arc_deg: float = None):
+             height: int = 480, noise: bool = True, arc_deg: float = None,
+             gray_texture: bool = False):
     # Kinect intrinsics, scaled when rendering below the native 640x480
     K = synth.KINECT_K.copy()
     K[0] *= width / 640.0
@@ -109,7 +130,7 @@ def generate(out: str, frames: int = 90, seed: int = 0, width: int = 640,
             key, sub = jax.random.split(key)
             depth = synth.add_kinect_noise(depth, sub)
         color = render_color(world, jnp.asarray(R), jnp.asarray(t), K,
-                             width, height)
+                             width, height, gray_texture=gray_texture)
         name = f"{i + 1:03d}.png"
         write_png16(os.path.join(out, "depth", name), depth)
         write_png8(os.path.join(out, "rgb", name), color)
@@ -127,9 +148,13 @@ def main(argv=None):
     p.add_argument("--no-noise", action="store_true")
     p.add_argument("--arc-deg", dest="arc_deg", type=float, default=None,
                    help="total orbit sweep in degrees (default: 4 deg/frame)")
+    p.add_argument("--gray-texture", action="store_true",
+                   help="grayscale world-anchored albedo texture (the BA"
+                        " convergence-parity fixture: equal RGB channels"
+                        " neutralize the reference channel reversal)")
     a = p.parse_args(argv)
     generate(a.out, a.frames, a.seed, a.width, a.height, noise=not a.no_noise,
-             arc_deg=a.arc_deg)
+             arc_deg=a.arc_deg, gray_texture=a.gray_texture)
 
 
 if __name__ == "__main__":

@@ -49,9 +49,22 @@ def build_parser():
                    help="maximum number of keyframes used in BA")
     p.add_argument("--coupled-poses", action="store_true",
                    help="use the full 6Fx6F pose system (solvePoseFull)")
+    p.add_argument("--channel-mix-parity", action="store_true",
+                   help="replicate the reference's channel-REVERSED image "
+                        "gradients (PhotometricOptimizer.cpp:102-126) so "
+                        "per-iteration BA energies are gateable against "
+                        "the reference binary on COLORED data")
     p.add_argument("--sharded-ba", action="store_true",
                    help="shard BA over the surface-voxel axis across all "
                         "local devices (psum'd pose systems)")
+    p.add_argument("--keyframe-gap", dest="keyframe_gap", type=int,
+                   default=None,
+                   help="override dist_to_last_keyframe gap (reference "
+                        "hardcodes 5, main_photo_ba.cpp:246)")
+    p.add_argument("--max-recorded-keyframes", dest="max_recorded_keyframes",
+                   type=int, default=None,
+                   help="visibility-bitfield slot capacity (default 128; "
+                        "4 uint32 words per voxel per 128 slots)")
     p.add_argument("--metrics-json", default=None)
     return p
 
@@ -83,8 +96,14 @@ def run_photoba(args) -> dict:
         grid=dataclasses.replace(cfg.grid, voxel_size=args.voxel_size),
         fusion=dataclasses.replace(cfg.fusion, trunc_voxels=args.trunc,
                                    z_max=args.zmax),
-        photo_ba=dataclasses.replace(cfg.photo_ba,
-                                     max_keyframes=args.key_frame),
+        photo_ba=dataclasses.replace(
+            cfg.photo_ba, max_keyframes=args.key_frame,
+            channel_mix_parity=getattr(args, "channel_mix_parity", False),
+            **{k: v for k, v in (
+                ("keyframe_gap", getattr(args, "keyframe_gap", None)),
+                ("max_recorded_keyframes",
+                 getattr(args, "max_recorded_keyframes", None)),
+            ) if v is not None}),
     )
     sharp_thr = cfg.photo_ba.sharpness_threshold
 
@@ -111,11 +130,15 @@ def run_photoba(args) -> dict:
         depth = jnp.asarray(frame.depth)
 
         if i == args.first:
-            # first frame: identity pose, always a keyframe
+            # first frame: identity pose, always a keyframe. Keyframe dicts
+            # keep the frame INDEX, not the pixels: the <= --key-frame
+            # sampled images are re-decoded right before BA, bounding host
+            # memory to O(max_keyframes) images (the reference copies EVERY
+            # candidate image into RAM, main_photo_ba.cpp:228-231/:252-254)
             slot = len(keyframes)
             sdf_map.setup(depth, K, kf_slot=slot)
             keyframes.append(dict(frame=i - args.first, stamp=frame.timestamp,
-                                  image=frame.color,
+                                  index=i,
                                   pose=(np.eye(3, dtype=np.float32),
                                         np.zeros(3, dtype=np.float32)),
                                   slot=slot))
@@ -157,7 +180,7 @@ def run_photoba(args) -> dict:
                     dist_to_last_kf = 0
                     keyframes.append(dict(
                         frame=i - args.first, stamp=frame.timestamp,
-                        image=frame.color,
+                        index=i,
                         pose=(np.array(R_cur), np.array(t_cur)), slot=slot,
                     ))
                 else:
@@ -172,10 +195,11 @@ def run_photoba(args) -> dict:
     sdf_map.extract_mesh(os.path.join(args.results, "mesh_lr.ply"))
     sdf_map.extract_pc(os.path.join(args.results, "cloud_lr.ply"))
 
-    # Phase 2: subsample keyframes, run BA
+    # Phase 2: subsample keyframes, decode ONLY their images, run BA
     kfs = sample_keyframes(keyframes, cfg.photo_ba.max_keyframes)
     print(f"{len(kfs)} keyframes selected for BA")
-    images = np.stack([k["image"] for k in kfs]).astype(np.float32)
+    images = np.stack(
+        [loader.load_color_at(k["index"]) for k in kfs]).astype(np.float32)
     poses = [k["pose"] for k in kfs]
     slots = [k["slot"] for k in kfs]
 

@@ -62,6 +62,15 @@ class FusionConfig:
     # (PERF_NOTES.md): cost ~ 0.69 ms/kray + ~1 ms/chunk fixed; 16k chunks
     # beat 32k (less last-chunk padding) and 8k (fixed cost dominates) on
     # the VGA bench scene.
+    acc_rows8: bool = False           # per-frame accumulators as ONE
+    # [nvox, 8]-row array updated by a single [N, 8]-row scatter-add
+    # (payload w, wd, wn_x, wn_y, wn_z + 3 pad lanes) instead of 5
+    # separate [N] scatter-adds. Identical sums (same adds, same slot
+    # order; equality-tested). MEASURED IN SITU SLOWER at the real
+    # full-capacity destination (103.6 vs 77.3 ms/frame on the v5e VGA
+    # scene) despite winning 2.3x at a VMEM-scale micro destination —
+    # the [*, 8] minor-axis payload pays the same bad-layout path as
+    # round 1's [N, 5] attempt. Kept OFF; see PERF_NOTES.md round 3.
     fusion_stride: int = 1            # integrate every s-th pixel's ray walk
     # (rows and columns). The reference fuses every pixel (parity default 1);
     # stride 2 quarters the scatter traffic while the ~2-4 mm pixel
@@ -78,6 +87,10 @@ class TrackerConfig:
     conv_threshold: float = 1e-3      # converged when ||xi|| < conv_threshold
     damping: float = 1.0
     sampling: int = 1                 # pixel stride
+    packed_row_gather: bool = False   # gather (dist, weight, grad) per GN
+    # iteration as ONE [*, 8]-row gather from a per-frame packed field
+    # array instead of 5 element gathers (identical math; see
+    # PERF_NOTES.md round 3 for the measured verdict)
     compact_cap_frac: float = 0.5     # depth-valid pixels are compacted once
     # before the GN loop (z-gating is pose-independent) into a buffer of
     # this fraction of the strided pixel count; frames with more valid
@@ -105,6 +118,12 @@ class PhotoBAConfig:
     # (4 uint32 words/voxel); selection stops once the cap is reached
     keyframe_gap: int = 5             # dist_to_last_keyframe > 5 (main_photo_ba.cpp:246)
     sharpness_threshold: float = 0.026  # tum/printed; redwood: 0.033 (main_photo_ba.cpp:109-120)
+    channel_mix_parity: bool = False  # replicate the reference's
+    # channel-REVERSED image gradients (computeImageGradient returns
+    # Vec3f(v[2],v[1],v[0]) against native-order residuals,
+    # PhotometricOptimizer.cpp:102-126). OFF = residual-consistent
+    # gradients (our default); ON makes per-iteration BA steps directly
+    # gateable against the reference binary on colored data.
 
 
 @dataclasses.dataclass(frozen=True)

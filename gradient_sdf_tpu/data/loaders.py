@@ -96,6 +96,17 @@ class ImageLoader:
     def load_keyframe(self, index: int) -> Optional[Frame]:
         return None
 
+    def load_color_at(self, index: int) -> Optional[np.ndarray]:
+        """Random-access reload of one frame's color image.
+
+        Lets PhotoBA keep only frame INDICES for keyframe candidates during
+        phase 1 and decode the <= --key-frame sampled images right before
+        BA — bounding host memory to O(max_keyframes) images instead of one
+        float image per keyframe-eligible frame (the reference copies every
+        candidate into RAM, main_photo_ba.cpp:228-231/:252-254 — unbounded
+        on long sequences)."""
+        return None
+
 
 class TumrgbdLoader(ImageLoader):
     """TUM RGB-D: `associated.txt` lines `ts_rgb rgb_path ts_depth depth_path`
@@ -130,6 +141,11 @@ class TumrgbdLoader(ImageLoader):
     def __len__(self):
         return len(self.assoc)
 
+    def load_color_at(self, index: int):
+        if not (0 <= index < len(self.assoc)):
+            return None
+        return load_color_png(os.path.join(self.path, self.assoc[index][1]))
+
 
 class RedwoodLoader(ImageLoader):
     """Redwood: sorted `depth/*.png` + `rgb/*.jpg` listings
@@ -159,6 +175,12 @@ class RedwoodLoader(ImageLoader):
 
     def __len__(self):
         return min(len(self.depth_files), len(self.rgb_files))
+
+    def load_color_at(self, index: int):
+        if not (0 <= index < len(self.rgb_files)):
+            return None
+        return load_color_png(
+            os.path.join(self.path, "rgb", self.rgb_files[index]))
 
 
 class SynthLoader(ImageLoader):
@@ -190,6 +212,10 @@ class SynthLoader(ImageLoader):
             )
             i += 1
 
+    def load_color_at(self, index: int):
+        cp = os.path.join(self.path, "rgb", self._name(index))
+        return load_color_png(cp) if os.path.isfile(cp) else None
+
     def load_keyframe(self, index: int):
         """Keyframe color comes from `albedo/` (`SynthLoader.h:86-107`)."""
         dp = os.path.join(self.path, "depth", self._name(index))
@@ -209,6 +235,10 @@ class Printed3dLoader(ImageLoader):
     (`Printed3dLoader.h:52-112`); unit 1/1000."""
 
     unit = 1.0 / 1000.0
+
+    def load_color_at(self, index: int):
+        cp = os.path.join(self.path, f"color_{index:06d}.png")
+        return load_color_png(cp) if os.path.isfile(cp) else None
 
     def frames(self, first=0, last=None):
         i = first

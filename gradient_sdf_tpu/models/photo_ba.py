@@ -81,11 +81,22 @@ def _surface_points(problem: BAProblem, dist: jax.Array, voxel_size: float):
     return problem.vox.astype(jnp.float32) * voxel_size - dist[:, None] * ghat
 
 
-def _per_frame_terms(problem: BAProblem, x: jax.Array, Ri, ti, img, vis_i):
+def _per_frame_terms(problem: BAProblem, x: jax.Array, Ri, ti, img, vis_i,
+                     channel_mix: bool = False):
     """All per-(voxel, frame-i) quantities: A, Jd factor pieces, validity.
 
     Returns dict with A [V,3], dI_dpi_cam (the 3x3 `image_grad @ pi_grad`
     matrix) [V,3,3], point_cam [V,3], valid [V].
+
+    `channel_mix` replicates the reference's `computeImageGradient`
+    channel REVERSAL (`Vec3f(v0[2],v0[1],v0[0])`,
+    PhotometricOptimizer.cpp:102-126): its image gradients come back
+    BGR-reversed while residuals keep native order, so each channel's
+    residual pairs with another channel's gradient in the GN vector b
+    (the Hessian channel sum is swap-invariant). Default OFF — we keep
+    residual-consistent gradients; ON (PhotoBAConfig.channel_mix_parity)
+    makes per-iteration BA steps gateable against the reference binary on
+    COLORED data (on grayscale the two coincide).
     """
     K = problem.K
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
@@ -108,6 +119,8 @@ def _per_frame_terms(problem: BAProblem, x: jax.Array, Ri, ti, img, vis_i):
         [jnp.zeros_like(z_inv), fy * z_inv, -fy * p[..., 1] * z_inv_sq], axis=-1
     )
     dI_dp = dAdu[..., None] * du_dp[:, None, :] + dAdv[..., None] * dv_dp[:, None, :]
+    if channel_mix:
+        dI_dp = dI_dp[:, ::-1, :]
     return A, dI_dp, p, valid
 
 
@@ -162,7 +175,9 @@ def solve_dist(problem: BAProblem, state: BAState, gcfg: GridConfig,
     def accum(carry, xs):
         Ri, ti, img, vis_i, _ = xs
         n, sA, sJ, sAJ, sJJ = carry
-        A, dI_dp, p, valid = _per_frame_terms(problem, x, Ri, ti, img, vis_i)
+        A, dI_dp, p, valid = _per_frame_terms(
+            problem, x, Ri, ti, img, vis_i,
+            channel_mix=getattr(pcfg, "channel_mix_parity", False))
         if trunc_gate:  # TRUNC_L2 intensity gate (reference :364-365)
             valid = valid & (jnp.max(A * A, axis=-1) <= lambda_sq)
         # Jd = dI_dp @ (-R^T g)  (unnormalized g, :181)
@@ -199,7 +214,9 @@ def _make_frame_AJ(problem: BAProblem, x: jax.Array, gate: jax.Array, pcfg):
     lambda_sq = pcfg.lambda_ * pcfg.lambda_
 
     def frame_AJ(Ri, ti, img, vis_i):
-        A, dI_dp, p, valid = _per_frame_terms(problem, x, Ri, ti, img, vis_i)
+        A, dI_dp, p, valid = _per_frame_terms(
+            problem, x, Ri, ti, img, vis_i,
+            channel_mix=getattr(pcfg, "channel_mix_parity", False))
         valid = valid & gate
         if trunc_gate:  # TRUNC_L2 intensity gate (reference :435, :542)
             valid = valid & (jnp.max(A * A, axis=-1) <= lambda_sq)

@@ -43,7 +43,41 @@ class TrackResult(NamedTuple):
     num_valid: jax.Array  # int32 residual count in final iteration
 
 
-def _residual_pass(grid, points_cam, z_valid, R, t, gcfg, fcfg, mode="grad"):
+def _pack_fields(grid):
+    """[nvox, 8] row-packed field array (dist, weight, gx, gy, gz, 0, 0, 0)
+    rebuilt once per tracked frame: every GN iteration then needs ONE row
+    gather instead of 5 element gathers (plus the directory lookup) —
+    dense build ~1 ms at capacity, amortized over the iterations."""
+    z = jnp.zeros_like(vg.flat_field(grid.dist))
+    return jnp.stack(
+        [vg.flat_field(grid.dist), vg.flat_field(grid.weight),
+         vg.flat_field(grid.grad_x), vg.flat_field(grid.grad_y),
+         vg.flat_field(grid.grad_z), z, z, z], axis=-1)
+
+
+def _tsdf_grad_packed(grid, packed, points, gcfg, fcfg):
+    """query.tsdf_grad semantics from the row-packed field array: identical
+    math, 2 random passes (directory lookup + one [*, 8] row gather)."""
+    vs = gcfg.voxel_size
+    vi = vg.point_to_voxel(points, vs)
+    lin, present = vg.lookup_voxels(grid, vi, gcfg)
+    row = packed[lin]
+    dist, weight = row[..., 0], row[..., 1]
+    gx, gy, gz = row[..., 2], row[..., 3], row[..., 4]
+    present = present & (weight > 0.0)
+    inv_norm = 1.0 / jnp.maximum(jnp.sqrt(gx * gx + gy * gy + gz * gz), 1e-12)
+    s = fcfg.grad_scale * inv_norm
+    cmp = vi.astype(jnp.float32) * vs - points
+    phi = dist + s * (gx * cmp[..., 0] + gy * cmp[..., 1] + gz * cmp[..., 2])
+    grad = jnp.stack([s * gx, s * gy, s * gz], axis=-1)
+    phi = jnp.where(present, phi, 0.0)
+    grad = jnp.where(present[..., None], grad, 0.0)
+    weight = jnp.where(present, weight, 0.0)
+    return phi, grad, weight
+
+
+def _residual_pass(grid, points_cam, z_valid, R, t, gcfg, fcfg, mode="grad",
+                   packed=None):
     """One linearization pass: returns (E, g, H, count).
 
     mode="grad": semi-implicit gradient-SDF query (flagship path).
@@ -53,7 +87,10 @@ def _residual_pass(grid, points_cam, z_valid, R, t, gcfg, fcfg, mode="grad"):
     if mode == "grad":
         # the reference calls weights() then tsdf() on the same voxel
         # (RigidPointOptimizer.cpp:72-75); one gather serves both here
-        phi, grad, w0 = query.tsdf_grad(grid, pts, gcfg, fcfg)
+        if packed is not None:
+            phi, grad, w0 = _tsdf_grad_packed(grid, packed, pts, gcfg, fcfg)
+        else:
+            phi, grad, w0 = query.tsdf_grad(grid, pts, gcfg, fcfg)
         valid = z_valid & (w0 > 0.0)
     else:
         phi, grad, full = query.tsdf_trilinear(grid, pts, gcfg, fcfg)
@@ -103,6 +140,10 @@ def track_frame(
     pts_cam, z = backproject_grid(depth, K, tcfg.sampling)
     z_valid = (z > fcfg.z_min) & (z < fcfg.z_max)
     conv_sq = tcfg.conv_threshold * tcfg.conv_threshold
+    packed = (_pack_fields(grid)
+              if (mode == "grad"
+                  and getattr(tcfg, "packed_row_gather", False))
+              else None)
 
     def gn_loop(pts, valid):
         def cond(carry):
@@ -112,7 +153,7 @@ def track_frame(
         def body(carry):
             R, t, k, converged, _, _ = carry
             E, g, H, cnt = _residual_pass(grid, pts, valid, R, t, gcfg,
-                                          fcfg, mode)
+                                          fcfg, mode, packed=packed)
             # Gauss-Newton step; tiny diagonal floor keeps the solve finite
             # when H is singular (no residuals) — xi is then ~0 and
             # NaN-gated anyway.

@@ -246,9 +246,13 @@ def _alloc_slots(grid: vg.VoxelGrid, s: FrameSamples, gcfg: GridConfig):
     return grid, lin, ok
 
 
-def _zero_accs(grid: vg.VoxelGrid, accumulate_gradients: bool):
-    """Fresh flat per-frame accumulators (w, wd, wn_x, wn_y, wn_z)."""
+def _zero_accs(grid: vg.VoxelGrid, accumulate_gradients: bool,
+               rows8: bool = False):
+    """Fresh flat per-frame accumulators (w, wd, wn_x, wn_y, wn_z) — five
+    [nvox] arrays, or ONE [nvox, 8] row array when rows8."""
     nvox = grid.num_blocks * grid.voxels_per_block
+    if rows8:
+        return (jnp.zeros((nvox, 8), jnp.float32),)
     z = jnp.zeros((nvox,), jnp.float32)
     n_grad = 3 if accumulate_gradients else 0
     return (z, z) + (z,) * n_grad
@@ -257,12 +261,20 @@ def _zero_accs(grid: vg.VoxelGrid, accumulate_gradients: bool):
 def _scatter_samples(accs, lin, s: FrameSamples):
     """Scatter one batch's contributions into the frame accumulators.
 
-    Five separate 1-channel scatter-adds: a single [N, 5] multi-channel
-    scatter was measured SLOWER (415 vs 329 ms/frame) — the 5-wide minor
-    payload axis hits the same bad-layout path as all other small-minor-dim
-    shapes on TPU (PERF_NOTES.md); complex64 pairing was a pathological
-    compile. Accumulators are *carried* across compacted chunks so the
-    dense zero-init/merge passes run once per frame, not once per chunk."""
+    Two layouts (FusionConfig.acc_rows8), bitwise-identical sums:
+      * five separate 1-channel scatter-adds (round-1/2 default), or
+      * ONE [N, 8]-row scatter-add into a [nvox, 8] accumulator — measured
+        2.3x cheaper on the v5e (scatter cost is per row descriptor, not
+        per element; PERF_NOTES.md round 3). The earlier [N, 5] rejection
+        (415 vs 329 ms/frame, round 1) was the unaligned 5-wide minor
+        axis; 8 lanes is layout-clean.
+    Accumulators are *carried* across compacted chunks so the dense
+    zero-init/merge passes run once per frame, not once per chunk."""
+    if len(accs) == 1:  # rows8 layout
+        z = jnp.zeros_like(s.w)
+        payload = jnp.stack(
+            [s.w, s.wd, s.wn_x, s.wn_y, s.wn_z, z, z, z], axis=-1)
+        return (accs[0].at[lin].add(payload, mode="drop"),)
     vals = (s.w, s.wd, s.wn_x, s.wn_y, s.wn_z)
     return tuple(a.at[lin].add(v, mode="drop")
                  for a, v in zip(accs, vals))
@@ -274,6 +286,9 @@ def _merge_accumulators(grid: vg.VoxelGrid, accs, accumulate_gradients: bool):
     — the order-independent fixed point of the reference's sequential
     running mean (MapGradPixelSdf.cpp:108-116)."""
     shape = grid.dist.shape
+    if len(accs) == 1:  # rows8 layout: unpack the lane-packed accumulator
+        a = accs[0]
+        accs = (a[:, 0], a[:, 1], a[:, 2], a[:, 3], a[:, 4])
     w_acc = accs[0].reshape(shape)
     wd_acc = accs[1].reshape(shape)
     new_weight = grid.weight + w_acc
@@ -305,10 +320,10 @@ def _merge_vis(grid: vg.VoxelGrid, vis, touched_flat, kf_slot):
 
 
 def _integrate_samples(grid, s: FrameSamples, gcfg, accumulate_gradients,
-                       vis, kf_slot):
+                       vis, kf_slot, rows8=False):
     """Allocate + scatter + merge one batch of samples (and mark vis)."""
     grid, lin, ok = _alloc_slots(grid, s, gcfg)
-    accs = _zero_accs(grid, accumulate_gradients)
+    accs = _zero_accs(grid, accumulate_gradients, rows8)
     accs = _scatter_samples(accs, lin, s)  # scatters len(accs) fields
     grid = _merge_accumulators(grid, accs, accumulate_gradients)
 
@@ -367,11 +382,12 @@ def fuse_frame(
         # expected valid count scales ~1/stride^2; shrink the work quantum
         chunk = max(8 * 1024, chunk // (stride * stride))
 
+    rows8 = bool(getattr(fcfg, "acc_rows8", False))
     if chunk <= 0 or chunk >= n_rays:
         # single full-frame pass (no compaction)
         s = _ray_samples(rays, R, t, gcfg, fcfg)
         grid, vis = _integrate_samples(
-            grid, s, gcfg, accumulate_gradients, vis, kf_slot
+            grid, s, gcfg, accumulate_gradients, vis, kf_slot, rows8
         )
         return (grid, vis) if vis is not None else grid
 
@@ -386,7 +402,7 @@ def fuse_frame(
 
     has_vis = vis is not None
     nvox = grid.num_blocks * grid.voxels_per_block
-    accs0 = _zero_accs(grid, accumulate_gradients)
+    accs0 = _zero_accs(grid, accumulate_gradients, rows8)
     touched0 = (jnp.zeros((nvox,), jnp.int32) if has_vis
                 else jnp.zeros((0,), jnp.int32))
 

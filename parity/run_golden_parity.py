@@ -42,6 +42,16 @@ MAX_W_MISMATCH_FRAC = 0.10   # voxels whose sample multiset differs (fp ties)
 MAX_D_SAMEW = 1e-3           # max |dist diff| where multisets agree (m)
 MAX_TRAJ_T = 2e-3            # max translation diff per frame (m)
 MAX_TRAJ_Q = 2e-3            # max per-component quaternion diff
+MAX_BA_POSE_T = 1e-2         # max post-BA keyframe translation diff (m).
+# Both implementations end BA in the reference's own diverge-abort
+# (PhotometricOptimizer.cpp:651-655) — its rel_diff < 5e-4 stop never
+# fires on any synthetic we could build, the energy floor keeps yielding
+# ~2%/iter decreases until one overstep — so final poses reflect each
+# side's last overstep (measured 4.0 mm apart on the grayscale fixture),
+# not a converged state. The strong gate is the per-iteration one below.
+MAX_BA_E_PREFIX_REL = 0.02   # max relative per-iteration energy diff over
+# the shared iteration prefix (measured <= 0.6% across 10 consecutive
+# energies on the grayscale no-noise fixture; see PARITY.md)
 
 
 def run(cmd, **kw):
@@ -65,6 +75,11 @@ def main():
                          "timed as ref_cpu_fps_omp when present — the "
                          "reference's own README claims paper-comparable "
                          "runtimes only for OMP builds (README.md:46)")
+    ap.add_argument("--ba", action="store_true",
+                    help="also run the grayscale-textured FULL-BA "
+                         "convergence comparison (both implementations' "
+                         "PhotoBA to convergence; post-BA keyframe poses "
+                         "and energy trajectories gated)")
     ap.add_argument("--noisy", action="store_true",
                     help="also run the 30-frame Kinect-noise ATE comparison "
                          "(the fr1/desk-style accuracy protocol; ~7 extra "
@@ -263,6 +278,82 @@ def main():
     else:
         report["photoba_skipped"] = f"binary missing at {ba_bin}"
 
+    # ---- 3b (opt-in). FULL-BA convergence parity on grayscale ------------
+    # On a GRAYSCALE-TEXTURED synthetic the reference's channel-reversed
+    # image gradients (PhotometricOptimizer.cpp:102-126) coincide with
+    # residual-consistent ones, so both implementations' complete BA loops
+    # (:611-663) are directly comparable: gate post-BA keyframe poses and
+    # energy-trajectory agreement.
+    ba_conv_ok = None
+    if opts.ba and os.path.isfile(ba_bin):
+        # noise-free: with Kinect noise both implementations hit the shared
+        # diverge-abort (measured: ref at iter 4, ours at iter 3 — energies
+        # tracking within ~3-30% — but post-overstep poses scatter ~16 mm);
+        # the clean CONVERGENCE gate needs a dataset where the reference's
+        # rel_diff < 5e-4 stop actually fires
+        gdata = os.path.join(opts.work, "data_gray")
+        if not os.path.isfile(os.path.join(gdata, "gt_poses.txt")):
+            run_py(
+                "import runpy, sys\n"
+                f"sys.argv=['make_synth','--out',{gdata!r},'--frames','24',"
+                "'--seed','5','--width','640','--height','480',"
+                "'--arc-deg','48','--gray-texture','--no-noise']\n"
+                "runpy.run_module('gradient_sdf_tpu.apps.make_synth',"
+                "run_name='__main__')")
+        ref_g = os.path.join(opts.work, "ref_gray_ba") + "/"
+        our_g = os.path.join(opts.work, "ours_gray_ba")
+        os.makedirs(ref_g, exist_ok=True)
+        r = run([ba_bin, "--input", gdata + "/", "--results", ref_g,
+                 "--data-type", "synth", "--voxel-size", "0.02",
+                 "--trunc", "5", "--key-frame", "8"])
+        e_ref = [float(m) for m in re.findall(
+            r"Energy (?:before BA|after \d+ iterations of coarse BA "
+            r"\((?:pose|dist)\)): ([0-9.eE+-]+)", r.stdout)]
+        ro = run_py(
+            "import runpy, sys\n"
+            f"sys.argv=['photoba','--input',{gdata!r},'--results',{our_g!r},"
+            "'--data-type','synth','--voxel-size','0.02','--trunc','5',"
+            "'--key-frame','8']\n"
+            "runpy.run_module('gradient_sdf_tpu.apps.photoba',"
+            "run_name='__main__')")
+        e_ours = [float(m) for m in re.findall(
+            r"Energy (?:before BA|after \d+ iterations of coarse BA "
+            r"\((?:pose|dist)\)): ([0-9.eE+-]+)", ro.stdout)]
+
+        opt = "coarse_BA_poses_optimized.txt"
+        pr = load_traj(os.path.join(ref_g, opt))
+        po = load_traj(os.path.join(our_g, opt))
+        stamps_r = [l.split()[0] for l in open(os.path.join(ref_g, opt))]
+        stamps_o = [l.split()[0] for l in open(os.path.join(our_g, opt))]
+        ba_t = (float(np.linalg.norm(pr[:, :3] - po[:, :3], axis=1).max())
+                if len(pr) == len(po) else float("inf"))
+        report["ba_kf_stamps_match"] = stamps_r == stamps_o
+        report["ba_post_pose_t_max"] = ba_t
+        report["ba_energy_ref"] = e_ref
+        report["ba_energy_ours"] = e_ours
+        # PER-ITERATION energy agreement over the shared prefix (excluding
+        # each side's final diverge-overstep entry): the strongest BA gate
+        # — every solvePose/solveDist half-step's energy must match
+        n_shared = max(min(len(e_ref), len(e_ours)) - 1, 0)
+        prefix_rel = max(
+            (abs(a - b) / max(a, 1e-9)
+             for a, b in zip(e_ref[:n_shared], e_ours[:n_shared])),
+            default=float("inf"))
+        # both sides must END the same way (here: the reference's own
+        # diverge-abort; a convergent fixture would report [True, True])
+        mono_ref = all(b <= a * 1.0005 for a, b in zip(e_ref, e_ref[1:]))
+        mono_ours = all(b <= a * 1.0005 for a, b in zip(e_ours, e_ours[1:]))
+        report["ba_energy_prefix_rel_max"] = prefix_rel
+        report["ba_energy_shared_prefix"] = n_shared
+        report["ba_monotone"] = [mono_ref, mono_ours]
+        ba_conv_ok = (stamps_r == stamps_o
+                      and ba_t <= MAX_BA_POSE_T
+                      and n_shared >= 6
+                      and prefix_rel <= MAX_BA_E_PREFIX_REL
+                      and mono_ref == mono_ours)
+    elif opts.ba:
+        report["ba_skipped"] = f"PhotoBA binary missing at {ba_bin}"
+
     # ---- 4 (opt-in). Noisy-sequence tracking accuracy (ATE) --------------
     ate_ok = None
     if opts.noisy:
@@ -319,6 +410,7 @@ def main():
           and q_diff <= MAX_TRAJ_Q
           and mesh_ok
           and kf_ok is not False
+          and ba_conv_ok is not False
           and ate_ok is not False)
     print("PARITY " + ("OK" if ok else "FAIL"))
     return 0 if ok else 1

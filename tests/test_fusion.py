@@ -302,3 +302,41 @@ def test_fusion_stride_unbiased_quarter_weight(world, cache):
     sel = (sa > 0.5) & (sb > 0.12)
     assert sel.sum() > 50
     assert np.median(np.abs(da[sel] - db[sel])) < 0.25 * GCFG.voxel_size
+
+
+def test_rows8_accumulator_matches_default(world, cache):
+    """acc_rows8 (one [N,8]-row scatter-add for all five fields) must equal
+    the five-scatter layout bitwise-in-semantics: same adds, same order."""
+    import dataclasses
+
+    fcfg8 = dataclasses.replace(FCFG, acc_rows8=True)
+    ref = vg.create(GCFG)
+    r8 = vg.create(GCFG)
+    for i in range(3):
+        R, t = make_pose(i)
+        depth = synth.render_depth(world, jnp.asarray(R), jnp.asarray(t),
+                                   K, W, H)
+        ref = fusion.fuse_frame(ref, depth, cache, jnp.asarray(R),
+                                jnp.asarray(t), GCFG, FCFG)
+        r8 = fusion.fuse_frame(r8, depth, cache, jnp.asarray(R),
+                               jnp.asarray(t), GCFG, fcfg8)
+    assert int(r8.num_active) == int(ref.num_active)
+    np.testing.assert_allclose(np.asarray(r8.weight), np.asarray(ref.weight),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r8.dist), np.asarray(ref.dist),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(r8.grad), np.asarray(ref.grad),
+                               rtol=1e-5, atol=1e-6)
+    # uncompacted single-pass path too
+    fcfg8_nc = dataclasses.replace(fcfg8, compact_chunk_rays=0)
+    fcfg_nc = dataclasses.replace(FCFG, compact_chunk_rays=0)
+    R, t = make_pose(0)
+    depth = synth.render_depth(world, jnp.asarray(R), jnp.asarray(t), K, W, H)
+    a = fusion.fuse_frame(vg.create(GCFG), depth, cache, jnp.asarray(R),
+                          jnp.asarray(t), GCFG, fcfg_nc)
+    b = fusion.fuse_frame(vg.create(GCFG), depth, cache, jnp.asarray(R),
+                          jnp.asarray(t), GCFG, fcfg8_nc)
+    np.testing.assert_allclose(np.asarray(b.dist), np.asarray(a.dist),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(b.weight), np.asarray(a.weight),
+                               rtol=1e-6, atol=1e-6)

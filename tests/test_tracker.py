@@ -191,3 +191,49 @@ def test_tracker_stride3_recovers_pose(setup):
     assert int(res.num_valid) > 100
     assert np.linalg.norm(err) < 0.8 * float(jnp.linalg.norm(xi))
     assert np.linalg.norm(err) < 0.025
+
+
+def test_tracker_packed_row_gather_matches_default(setup):
+    """packed_row_gather (one [*,8]-row gather per GN iteration from the
+    per-frame packed field array) computes the identical linearization:
+    a single residual pass is bit-equal, and the full GN loop recovers the
+    same pose on a well-conditioned frame."""
+    world, cache, poses, grid = setup
+    R_gt, t_gt = poses[4]
+    depth = synth.render_depth(world, jnp.asarray(R_gt), jnp.asarray(t_gt),
+                               K, W, H)
+    # bit-equality of one linearization pass at the GT pose
+    pts, z = tracker.backproject_grid(depth, jnp.asarray(K), 1)
+    zv = (z > FCFG.z_min) & (z < FCFG.z_max)
+    ref = tracker._residual_pass(grid, pts, zv, jnp.asarray(R_gt),
+                                 jnp.asarray(t_gt), GCFG, FCFG, "grad")
+    packed = tracker._pack_fields(grid)
+    got = tracker._residual_pass(grid, pts, zv, jnp.asarray(R_gt),
+                                 jnp.asarray(t_gt), GCFG, FCFG, "grad",
+                                 packed=packed)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # short runs agree tightly; long runs at the discretization noise floor
+    # amplify program-level fp differences chaotically and only recovery
+    # quality holds (same precedent as the compaction test above)
+    xi = jnp.asarray([0.01, -0.015, 0.02, 0.01, -0.012, 0.008], jnp.float32)
+    dR, dt = se3.se3_exp(xi)
+    R0, t0 = se3.se3_mul(dR, dt, jnp.asarray(R_gt), jnp.asarray(t_gt))
+    for iters in (1, 3):
+        a = tracker.track_frame(grid, depth, jnp.asarray(K), R0, t0, GCFG,
+                                FCFG, TrackerConfig(num_iterations=iters))
+        b = tracker.track_frame(
+            grid, depth, jnp.asarray(K), R0, t0, GCFG, FCFG,
+            TrackerConfig(num_iterations=iters, packed_row_gather=True))
+        assert int(a.num_valid) == int(b.num_valid)
+        np.testing.assert_allclose(np.asarray(b.R), np.asarray(a.R),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(b.t), np.asarray(a.t),
+                                   atol=1e-5)
+    res = tracker.track_frame(grid, depth, jnp.asarray(K), R0, t0, GCFG,
+                              FCFG, TrackerConfig(packed_row_gather=True))
+    dR_err, dt_err = se3.se3_mul(*se3.se3_inv(res.R, res.t),
+                                 jnp.asarray(R_gt), jnp.asarray(t_gt))
+    err = np.asarray(se3.se3_log(dR_err, dt_err))
+    assert np.linalg.norm(err) < 0.012  # same bound as the recovery test
