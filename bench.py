@@ -1,19 +1,21 @@
 """Benchmark harness — prints ONE JSON line with the headline metric.
 
-Headline: end-to-end Scan3D frame rate at EXACT parity settings — dense
-tracking (sampling=1, the reference's optimize() default,
-RigidPointOptimizer.h:68-71) + dense fusion (every pixel), 640x480,
-trunc=5 voxels, 25-iteration GN cap — on one chip. vs_baseline is
-fps / 30: the BASELINE.md target is real-time (>30 fps) tracking on one
-v5e chip; the C++ reference publishes no numbers (BASELINE.json
-"published": {}). vs_measured_reference compares against the reference
-binary actually built and timed on this container's CPU by the golden
-parity harness (parity/last_report.json; PARITY.md) — the non-OMP
-single-thread build, plus ref_cpu_fps_omp when the OMP build has been
-measured.
+Headline: end-to-end Scan3D frame rate at EXACT parity settings on the
+GOLDEN-PROTOCOL scene — the same protocol the reference binary's CPU
+baseline is measured on by parity/run_golden_parity.py (640x480 synthetic
+spheres seed 2, 6 frames over a 4-degree arc, vs=2 cm, trunc=5): DENSE
+consecutive-frame tracking (sampling=1, the reference optimize() default,
+RigidPointOptimizer.h:68-71 — frame i tracked from pose i-1, exactly what
+the reference's per-frame timer measures) plus full fusion.
+vs_measured_reference compares against the measured reference binary
+(parity/last_report.json: non-OMP single thread, plus ref_cpu_fps_omp for
+the OpenMP build); vs_baseline is fps / 30 (the BASELINE.md real-time
+target).
 
 Secondary fields: stride2_fps (stride-2 tracking, the scan3d VGA default),
-fast_fps (scan3d --fast), fusion Mvoxel-updates/s, raycast Mrays/s.
+fast_fps (scan3d --fast), fusion Mvoxel-updates/s; raycast Mrays/s is
+measured on the round-1/2 comparable scene (vs=1 cm, 16-pose orbit) so the
+north-star numbers stay comparable across rounds.
 
 Engineering notes for this environment: every jitted program costs minutes
 of remote compile (no client-side cache), and eager op dispatch is a
@@ -41,13 +43,16 @@ import jax.numpy as jnp
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def timeit(fn, *args, iters=10, warmup=1):
+def timeit(fn, args_list, iters=10, warmup=1):
+    """Median-free pipelined timing (PERF_NOTES.md: block per batch, not per
+    call — per-call sync pays a ~26 ms RPC roundtrip), cycling distinct
+    argument sets."""
     for _ in range(warmup):
-        out = fn(*args)
+        out = fn(*args_list[0])
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
+    for i in range(iters):
+        out = fn(*args_list[i % len(args_list)])
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
 
@@ -58,8 +63,8 @@ def log(msg):
 
 # Fallback when parity/last_report.json is absent: the reference binary
 # measured by the golden parity harness on this container's CPU,
-# 2026-08 (round 2), non-OMP single-thread build.
-REF_CPU_FPS_FALLBACK = 18.7
+# 2026-08 (round 3), non-OMP single-thread build.
+REF_CPU_FPS_FALLBACK = 17.0
 
 
 def measured_reference_fps():
@@ -77,6 +82,7 @@ def measured_reference_fps():
 
 def main():
     import argparse
+    import dataclasses
 
     ap = argparse.ArgumentParser("bench")
     ap.add_argument("--profile", default=None)
@@ -87,29 +93,24 @@ def main():
     from gradient_sdf_tpu.models import tracker
     from gradient_sdf_tpu.ops import fusion, normals, raycast
     from gradient_sdf_tpu.ops import voxel_grid as vg
-    from gradient_sdf_tpu.utils import se3
 
     W, H = 640, 480
     K = synth.KINECT_K
-    gcfg = GridConfig(voxel_size=0.01, num_blocks=2**15)
-    fcfg = FusionConfig(trunc_voxels=5.0)
-    # HEADLINE: dense sampling=1 — the reference's optimize() default
-    # (RigidPointOptimizer.h:68-71), so vs_measured_reference is
-    # dense-vs-dense. stride-2 (the scan3d VGA default, reference
-    # optimize_sampled precedent) is reported as stride2_fps.
-    tcfg = TrackerConfig(sampling=1)
-
-    world = synth.random_spheres(seed=3)
-    poses = synth.orbit_poses(n=16, radius=2.0)
     cache = normals.build_cache(W, H, K, window=11)
 
     result = {
-        "metric": "scan3d_fps_640x480",
+        "metric": "scan3d_dense_fps_640x480",
         "value": 0.0,
         "unit": "frames/s",
         "vs_baseline": 0.0,
         "device": str(jax.devices()[0]),
     }
+
+    # ---- Phase A: golden-protocol track+fuse ------------------------------
+    gcfg = GridConfig(voxel_size=0.02, num_blocks=1024)
+    fcfg = FusionConfig(trunc_voxels=5.0)
+    world = synth.random_spheres(seed=2)
+    poses = synth.orbit_poses(n=6, radius=2.0, arc=np.deg2rad(4.0))
 
     render_jit = jax.jit(
         lambda R, t: synth.render_depth(world, R, t, K, W, H)
@@ -123,41 +124,54 @@ def main():
         log("compiling renderer + fusion...")
         t0 = time.time()
         grid = vg.create(gcfg)
-        depths = []
+        frames = []
         for i in range(6):
             R, t = (jnp.asarray(poses[i][0]), jnp.asarray(poses[i][1]))
             d = render_jit(R, t)
-            depths.append(d)
+            frames.append((d, R, t))
             grid = fuse_jit(grid, d, R, t)
         jax.block_until_ready(grid.dist)
         log(f"map built ({time.time()-t0:.0f}s incl. compiles), "
-            f"{int(grid.num_active)} blocks")
+            f"{int(grid.num_active)} blocks, overflow={bool(grid.overflow)}")
 
-        R4, t4 = (jnp.asarray(poses[4][0]), jnp.asarray(poses[4][1]))
+        fargs = [(grid, d, R, t) for d, R, t in frames[2:6]]
         if opts.profile:
             with jax.profiler.trace(opts.profile):
-                jax.block_until_ready(fuse_jit(grid, depths[4], R4, t4).dist)
-        fuse_s = timeit(lambda: fuse_jit(grid, depths[4], R4, t4), iters=10)
+                jax.block_until_ready(fuse_jit(*fargs[0]).dist)
+        fuse_s = timeit(fuse_jit, fargs, iters=12)
         voxel_updates = W * H * (2 * int(fcfg.trunc_voxels) + 1)
-        result["fusion_mvoxel_updates_per_s"] = round(voxel_updates / fuse_s / 1e6, 2)
+        result["fusion_mvoxel_updates_per_s"] = round(
+            voxel_updates / fuse_s / 1e6, 2)
         result["fuse_ms"] = round(fuse_s * 1e3, 2)
     except Exception as e:  # pragma: no cover
         result["fusion_error"] = repr(e)[:200]
         print(json.dumps(result))
         return
 
-    try:
-        log("compiling tracker...")
-        track_jit = jax.jit(
+    # consecutive-frame tracking: frame i's depth from pose i-1 — the same
+    # situation the reference binary's "Point optimization" timer measures
+    targs = []
+    for i in range(1, 6):
+        d, _, _ = frames[i]
+        _, Rp, tp = frames[i - 1]
+        targs.append((grid, d, Rp, tp))
+
+    def track_cfg(s):
+        return jax.jit(
             lambda g, d, R, t: tracker.track_frame(
-                g, d, jnp.asarray(K), R, t, gcfg, fcfg, tcfg
+                g, d, jnp.asarray(K), R, t, gcfg, fcfg,
+                TrackerConfig(sampling=s)
             )
         )
-        xi = jnp.asarray([0.01, -0.01, 0.015, 0.008, -0.01, 0.006], jnp.float32)
-        dR, dt = se3.se3_exp(xi)
-        R0, t0p = se3.se3_mul(dR, dt, R4, t4)
-        track_s = timeit(lambda: track_jit(grid, depths[4], R0, t0p), iters=5)
+
+    try:
+        log("compiling dense tracker...")
+        track_jit = track_cfg(1)
+        track_s = timeit(track_jit, targs, iters=10)
+        res0 = track_jit(*targs[2])
         result["track_ms"] = round(track_s * 1e3, 2)
+        result["track_converged"] = bool(res0.converged)
+        result["track_iters"] = int(res0.num_iters)
         frame_s = track_s + fuse_s
         result["value"] = round(1.0 / frame_s, 3)
         result["vs_baseline"] = round(1.0 / frame_s / 30.0, 3)
@@ -169,48 +183,27 @@ def main():
             result["vs_measured_reference_omp"] = round(
                 1.0 / frame_s / ref_fps_omp, 3)
 
-        # stride-2 tracking (the scan3d VGA default; reference precedent:
-        # optimize_sampled, RigidPointOptimizer.h:63-66)
         log("compiling stride-2 tracker...")
-        track_s2_jit = jax.jit(
-            lambda g, d, R, t: tracker.track_frame(
-                g, d, jnp.asarray(K), R, t, gcfg, fcfg,
-                TrackerConfig(sampling=2)
-            )
-        )
-        track_s2 = timeit(lambda: track_s2_jit(grid, depths[4], R0, t0p),
-                          iters=5)
+        track_s2_jit = track_cfg(2)
+        track_s2 = timeit(track_s2_jit, targs, iters=10)
         result["stride2_track_ms"] = round(track_s2 * 1e3, 2)
         result["stride2_fps"] = round(1.0 / (track_s2 + fuse_s), 3)
     except Exception as e:  # pragma: no cover
         result["track_error"] = repr(e)[:200]
 
     try:
-        # fast mode: stride-2 fusion (FusionConfig.fusion_stride — quarters
-        # the scatter traffic, per-voxel means stay unbiased; the reference
-        # fuses every pixel so the HEADLINE fps above keeps parity settings)
-        import dataclasses
-
+        # fast mode: stride-2 fusion + stride-3 tracking (scan3d --fast)
         fcfg_fast = dataclasses.replace(fcfg, fusion_stride=2)
         log("compiling fast-mode fusion...")
         fuse_fast = jax.jit(
             lambda g, d, R, t: fusion.fuse_frame(g, d, cache, R, t, gcfg,
                                                  fcfg_fast)
         )
-        fuse_fast_s = timeit(lambda: fuse_fast(grid, depths[4], R4, t4),
-                             iters=10)
+        fuse_fast_s = timeit(fuse_fast, fargs, iters=12)
         result["fast_fuse_ms"] = round(fuse_fast_s * 1e3, 2)
-        # fast-mode tracking: stride 3 (same optimize_sampled lever;
-        # accuracy covered by tests/test_tracker.py stride-3 test)
         log("compiling fast-mode tracker...")
-        track_fast = jax.jit(
-            lambda g, d, R, t: tracker.track_frame(
-                g, d, jnp.asarray(K), R, t, gcfg, fcfg,
-                TrackerConfig(sampling=3)
-            )
-        )
-        track_fast_s = timeit(lambda: track_fast(grid, depths[4], R0, t0p),
-                              iters=5)
+        track_fast = track_cfg(3)
+        track_fast_s = timeit(track_fast, targs, iters=10)
         result["fast_track_ms"] = round(track_fast_s * 1e3, 2)
         result["fast_fps"] = round(1.0 / (fuse_fast_s + track_fast_s), 3)
         result["fast_vs_measured_reference"] = round(
@@ -220,33 +213,50 @@ def main():
         result["fast_error"] = repr(e)[:200]
 
     elapsed = time.time() - t_start
-    if elapsed > 1500:
+    if elapsed > 2100:
         result["raycast_skipped"] = f"time budget ({elapsed:.0f}s elapsed)"
         print(json.dumps(result))
         return
+
+    # ---- Phase B: raycast north star (round-1/2 comparable scene) ---------
     try:
+        gcfg_rc = GridConfig(voxel_size=0.01, num_blocks=2**15)
+        world_rc = synth.random_spheres(seed=3)
+        poses_rc = synth.orbit_poses(n=16, radius=2.0)
+        log("building raycast scene (vs=1 cm)...")
+        fuse_rc = jax.jit(
+            lambda g, d, R, t: fusion.fuse_frame(g, d, cache, R, t,
+                                                 gcfg_rc, fcfg)
+        )
+        render_rc = jax.jit(
+            lambda R, t: synth.render_depth(world_rc, R, t, K, W, H))
+        grid_rc = vg.create(gcfg_rc)
+        for i in range(6):
+            R, t = (jnp.asarray(poses_rc[i][0]), jnp.asarray(poses_rc[i][1]))
+            grid_rc = fuse_rc(grid_rc, render_rc(R, t), R, t)
+        jax.block_until_ready(grid_rc.dist)
+        R4, t4 = (jnp.asarray(poses_rc[4][0]), jnp.asarray(poses_rc[4][1]))
+
         log("compiling raycaster...")
         rc_jit = jax.jit(
             lambda g, R, t: raycast.render_depth_normal(
-                g, jnp.asarray(K), R, t, W, H, gcfg, fcfg, s_max=3.5
+                g, jnp.asarray(K), R, t, W, H, gcfg_rc, fcfg, s_max=3.5
             )
         )
-        rc_s = timeit(lambda: rc_jit(grid, R4, t4), iters=5)
+        rc_s = timeit(rc_jit, [(grid_rc, R4, t4)], iters=5)
         result["raycast_mrays_per_s"] = round(W * H / rc_s / 1e6, 3)
 
         # incremental frame-to-model rendering: previous frame's depth as
-        # the march prior, prior holes skipped (nothing was fused there),
-        # 4-voxel window margin (realistic frame-to-model prior error at
-        # tracking frame rates; tests/test_raycast.py tight-margin test)
-        d_prev, _, _ = rc_jit(grid, R4, t4)
+        # the march prior, prior holes skipped, 4-voxel window margin
+        d_prev, _, _ = rc_jit(grid_rc, R4, t4)
         rci_jit = jax.jit(
             lambda g, R, t, dp: raycast.render_depth_normal(
-                g, jnp.asarray(K), R, t, W, H, gcfg, fcfg, s_max=3.5,
+                g, jnp.asarray(K), R, t, W, H, gcfg_rc, fcfg, s_max=3.5,
                 depth_prior=dp, depth_prior_holes="skip",
                 prior_margin_voxels=4.0,
             )
         )
-        rci_s = timeit(lambda: rci_jit(grid, R4, t4, d_prev), iters=5)
+        rci_s = timeit(rci_jit, [(grid_rc, R4, t4, d_prev)], iters=5)
         result["raycast_incremental_mrays_per_s"] = round(
             W * H / rci_s / 1e6, 3)
     except Exception as e:  # pragma: no cover

@@ -62,6 +62,12 @@ class FusionConfig:
     # (PERF_NOTES.md): cost ~ 0.69 ms/kray + ~1 ms/chunk fixed; 16k chunks
     # beat 32k (less last-chunk padding) and 8k (fixed cost dominates) on
     # the VGA bench scene.
+    acc_pallas: bool = False          # per-frame accumulators as ONE
+    # lane-packed Pallas row-RMW pass (all 5 fields per sample in a single
+    # VMEM-resident RMW, ops/pallas/scatter_add.scatter_add_multi) instead
+    # of 5 XLA scatter-adds. Requires grid capacity <= ~600k voxels (1171
+    # blocks) for VMEM residency; silently falls back to "fields" beyond
+    # (fusion.acc_mode). Measured verdict in PERF_NOTES.md round 3.
     acc_rows8: bool = False           # per-frame accumulators as ONE
     # [nvox, 8]-row array updated by a single [N, 8]-row scatter-add
     # (payload w, wd, wn_x, wn_y, wn_z + 3 pad lanes) instead of 5
@@ -87,10 +93,11 @@ class TrackerConfig:
     conv_threshold: float = 1e-3      # converged when ||xi|| < conv_threshold
     damping: float = 1.0
     sampling: int = 1                 # pixel stride
-    packed_row_gather: bool = False   # gather (dist, weight, grad) per GN
+    packed_row_gather: bool = True    # gather (dist, weight, grad) per GN
     # iteration as ONE [*, 8]-row gather from a per-frame packed field
-    # array instead of 5 element gathers (identical math; see
-    # PERF_NOTES.md round 3 for the measured verdict)
+    # array instead of 5 element gathers. Identical math (bit-equal
+    # linearization, tests/test_tracker.py); measured on the v5e: dense
+    # VGA tracking 59.3 -> 39.1 ms (PERF_NOTES.md round 3).
     compact_cap_frac: float = 0.5     # depth-valid pixels are compacted once
     # before the GN loop (z-gating is pose-independent) into a buffer of
     # this fraction of the strided pixel count; frames with more valid

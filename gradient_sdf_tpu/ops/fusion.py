@@ -246,31 +246,67 @@ def _alloc_slots(grid: vg.VoxelGrid, s: FrameSamples, gcfg: GridConfig):
     return grid, lin, ok
 
 
+# VMEM residency bound for the Pallas one-pass accumulator: 25 dests per
+# 128-lane f32 row = 20.5 B/destination
+PALLAS_MAX_DESTS = 600 * 1024
+
+
+def acc_mode(gcfg: GridConfig, fcfg: FusionConfig) -> str:
+    """Which per-frame accumulator formulation fusion uses (measured
+    trade-offs in PERF_NOTES.md round 3):
+      * "fields": five separate [nvox] scatter-adds (round-1/2 default);
+      * "rows8": ONE [N, 8]-row XLA scatter-add (kept, measured slower);
+      * "pallas": ONE lane-packed Pallas row-RMW pass for all five fields
+        — requires the whole capacity to fit the VMEM-resident
+        destination (<= ~600k voxels = 1171 blocks of 8^3)."""
+    nvox = gcfg.num_blocks * gcfg.voxels_per_block
+    if getattr(fcfg, "acc_pallas", False) and nvox <= PALLAS_MAX_DESTS:
+        return "pallas"
+    if getattr(fcfg, "acc_rows8", False):
+        return "rows8"
+    return "fields"
+
+
 def _zero_accs(grid: vg.VoxelGrid, accumulate_gradients: bool,
-               rows8: bool = False):
-    """Fresh flat per-frame accumulators (w, wd, wn_x, wn_y, wn_z) — five
-    [nvox] arrays, or ONE [nvox, 8] row array when rows8."""
+               mode: str = "fields"):
+    """Fresh flat per-frame accumulators (w, wd, wn_x, wn_y, wn_z): five
+    [nvox] arrays, ONE [nvox, 8] row array (rows8), or the lane-packed
+    Pallas accumulator (pallas)."""
     nvox = grid.num_blocks * grid.voxels_per_block
-    if rows8:
+    if mode == "pallas":
+        from .pallas.scatter_add import LANES, multi_rows
+
+        return (jnp.zeros((multi_rows(nvox), LANES), jnp.float32),)
+    if mode == "rows8":
         return (jnp.zeros((nvox, 8), jnp.float32),)
     z = jnp.zeros((nvox,), jnp.float32)
     n_grad = 3 if accumulate_gradients else 0
     return (z, z) + (z,) * n_grad
 
 
-def _scatter_samples(accs, lin, s: FrameSamples):
+def _scatter_samples(accs, lin, s: FrameSamples, mode: str = "fields",
+                     nvox: int = 0):
     """Scatter one batch's contributions into the frame accumulators.
 
-    Two layouts (FusionConfig.acc_rows8), bitwise-identical sums:
-      * five separate 1-channel scatter-adds (round-1/2 default), or
-      * ONE [N, 8]-row scatter-add into a [nvox, 8] accumulator — measured
-        2.3x cheaper on the v5e (scatter cost is per row descriptor, not
-        per element; PERF_NOTES.md round 3). The earlier [N, 5] rejection
-        (415 vs 329 ms/frame, round 1) was the unaligned 5-wide minor
-        axis; 8 lanes is layout-clean.
+    Three formulations (identical sums up to f32 add order; equality
+    tests in tests/test_fusion.py; measured trade-offs in PERF_NOTES.md):
+      * "fields": five separate 1-channel scatter-adds;
+      * "rows8": ONE [N, 8]-row XLA scatter-add;
+      * "pallas": ONE Pallas row-RMW pass accumulating all five fields
+        into the VMEM-resident lane-packed destination (carry-in across
+        chunks via the aliased accumulator).
     Accumulators are *carried* across compacted chunks so the dense
     zero-init/merge passes run once per frame, not once per chunk."""
-    if len(accs) == 1:  # rows8 layout
+    if mode == "pallas":
+        import jax as _jax
+
+        from .pallas.scatter_add import scatter_add_multi
+
+        payload = jnp.stack([s.w, s.wd, s.wn_x, s.wn_y, s.wn_z], axis=-1)
+        return (scatter_add_multi(
+            lin, payload, nvox, acc=accs[0],
+            interpret=_jax.default_backend() != "tpu"),)
+    if mode == "rows8":
         z = jnp.zeros_like(s.w)
         payload = jnp.stack(
             [s.w, s.wd, s.wn_x, s.wn_y, s.wn_z, z, z, z], axis=-1)
@@ -286,8 +322,13 @@ def _merge_accumulators(grid: vg.VoxelGrid, accs, accumulate_gradients: bool):
     — the order-independent fixed point of the reference's sequential
     running mean (MapGradPixelSdf.cpp:108-116)."""
     shape = grid.dist.shape
-    if len(accs) == 1:  # rows8 layout: unpack the lane-packed accumulator
+    nvox = grid.num_blocks * grid.voxels_per_block
+    if len(accs) == 1:  # rows8/pallas: unpack the lane-packed accumulator
         a = accs[0]
+        if a.shape[0] != nvox:  # pallas packed [rows, 128]
+            from .pallas.scatter_add import unpack_multi
+
+            a = unpack_multi(a, nvox, 5)
         accs = (a[:, 0], a[:, 1], a[:, 2], a[:, 3], a[:, 4])
     w_acc = accs[0].reshape(shape)
     wd_acc = accs[1].reshape(shape)
@@ -320,11 +361,12 @@ def _merge_vis(grid: vg.VoxelGrid, vis, touched_flat, kf_slot):
 
 
 def _integrate_samples(grid, s: FrameSamples, gcfg, accumulate_gradients,
-                       vis, kf_slot, rows8=False):
+                       vis, kf_slot, mode="fields"):
     """Allocate + scatter + merge one batch of samples (and mark vis)."""
     grid, lin, ok = _alloc_slots(grid, s, gcfg)
-    accs = _zero_accs(grid, accumulate_gradients, rows8)
-    accs = _scatter_samples(accs, lin, s)  # scatters len(accs) fields
+    nvox = grid.num_blocks * grid.voxels_per_block
+    accs = _zero_accs(grid, accumulate_gradients, mode)
+    accs = _scatter_samples(accs, lin, s, mode, nvox)
     grid = _merge_accumulators(grid, accs, accumulate_gradients)
 
     if vis is not None:
@@ -382,12 +424,12 @@ def fuse_frame(
         # expected valid count scales ~1/stride^2; shrink the work quantum
         chunk = max(8 * 1024, chunk // (stride * stride))
 
-    rows8 = bool(getattr(fcfg, "acc_rows8", False))
+    mode = acc_mode(gcfg, fcfg)
     if chunk <= 0 or chunk >= n_rays:
         # single full-frame pass (no compaction)
         s = _ray_samples(rays, R, t, gcfg, fcfg)
         grid, vis = _integrate_samples(
-            grid, s, gcfg, accumulate_gradients, vis, kf_slot, rows8
+            grid, s, gcfg, accumulate_gradients, vis, kf_slot, mode
         )
         return (grid, vis) if vis is not None else grid
 
@@ -402,7 +444,7 @@ def fuse_frame(
 
     has_vis = vis is not None
     nvox = grid.num_blocks * grid.voxels_per_block
-    accs0 = _zero_accs(grid, accumulate_gradients, rows8)
+    accs0 = _zero_accs(grid, accumulate_gradients, mode)
     touched0 = (jnp.zeros((nvox,), jnp.int32) if has_vis
                 else jnp.zeros((0,), jnp.int32))
 
@@ -420,7 +462,7 @@ def fuse_frame(
         rc = _gather_ray_chunk(rays, idx, start, chunk, count)
         s = _ray_samples(rc, R, t, gcfg, fcfg)
         g, lin, ok = _alloc_slots(g, s, gcfg)
-        accs = _scatter_samples(accs, lin, s)
+        accs = _scatter_samples(accs, lin, s, mode, nvox)
         if has_vis:
             touched = touched.at[lin].max(ok.astype(jnp.int32), mode="drop")
         return start + chunk, g, accs, touched

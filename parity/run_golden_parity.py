@@ -52,6 +52,10 @@ MAX_BA_POSE_T = 1e-2         # max post-BA keyframe translation diff (m).
 MAX_BA_E_PREFIX_REL = 0.02   # max relative per-iteration energy diff over
 # the shared iteration prefix (measured <= 0.6% across 10 consecutive
 # energies on the grayscale no-noise fixture; see PARITY.md)
+MAX_HR_GEOM = 0.005          # HR mesh/cloud NN p99.9 distance (m); HR
+# voxel is 1 cm at the protocol's vs=2 cm — set from measurement headroom
+MAX_HR_COLOR = 12.0          # mean |albedo diff| at matched points (uint8)
+MIN_HR_NRM_DOT = 0.9         # 1st percentile of matched normal dot
 
 
 def run(cmd, **kw):
@@ -351,6 +355,62 @@ def main():
                       and n_shared >= 6
                       and prefix_rel <= MAX_BA_E_PREFIX_REL
                       and mono_ref == mono_ours)
+
+        # ---- 3c. HR colored pipeline golden gates ------------------------
+        # ColorUpsampler subvoxel albedo + HR colored marching cubes
+        # (ColorUpsampler.cpp:334-377, HrLayeredMarchingCubes.cpp:824-864)
+        # compared on the SAME grayscale run: HR mesh geometry like the LR
+        # gate, plus albedo at nearest-point pairs for mesh and cloud.
+        from gradient_sdf_tpu.utils.ply import load_ply
+
+        def cols(path, n_geom):
+            v = np.asarray(load_ply(path)["vertex"])
+            if v.dtype.fields:
+                names = v.dtype.names
+                geom = np.stack([v[n] for n in names[:n_geom]], -1)
+                rgb = np.stack(
+                    [v[n].astype(np.float64)
+                     for n in ("red", "green", "blue")], -1)
+                return geom.astype(np.float64), rgb
+            return (v[:, :n_geom].astype(np.float64),
+                    v[:, n_geom:n_geom + 3].astype(np.float64))
+
+        from scipy.spatial import cKDTree
+
+        hrm_r, rgb_mr = cols(
+            os.path.join(ref_g, "coarse_BA_mesh_after_upsample.ply"), 3)
+        hrm_o, rgb_mo = cols(
+            os.path.join(our_g, "coarse_BA_mesh_after_upsample.ply"), 3)
+        d_ro, _ = cKDTree(hrm_o).query(hrm_r, workers=-1)
+        d_or, i_or = cKDTree(hrm_r).query(hrm_o, workers=-1)
+        report["hr_mesh_ref2ours_p999"] = float(np.quantile(d_ro, 0.999))
+        report["hr_mesh_ours2ref_p999"] = float(np.quantile(d_or, 0.999))
+        # albedo at geometric matches (uint8 scale)
+        close = d_or <= 0.25 * 0.01  # quarter HR voxel
+        report["hr_mesh_color_mean_abs"] = float(
+            np.abs(rgb_mo[close] - rgb_mr[i_or[close]]).mean())
+
+        hrc_r, rgb_cr = cols(
+            os.path.join(ref_g, "coarse_BA_cloud_after_upsample.ply"), 6)
+        hrc_o, rgb_co = cols(
+            os.path.join(our_g, "coarse_BA_cloud_after_upsample.ply"), 6)
+        dc, j_or = cKDTree(hrc_r[:, :3]).query(hrc_o[:, :3], workers=-1)
+        report["hr_cloud_ours2ref_p999"] = float(np.quantile(dc, 0.999))
+        cclose = dc <= 0.25 * 0.01
+        report["hr_cloud_color_mean_abs"] = float(
+            np.abs(rgb_co[cclose] - rgb_cr[j_or[cclose]]).mean())
+        nrm_dot = np.sum(hrc_o[cclose, 3:6] * hrc_r[j_or[cclose], 3:6],
+                         axis=-1)
+        report["hr_cloud_normal_dot_p01"] = float(np.quantile(nrm_dot, 0.01))
+        report["hr_match_fracs"] = [float(close.mean()),
+                                    float(cclose.mean())]
+        hr_ok = (report["hr_mesh_ref2ours_p999"] <= MAX_HR_GEOM
+                 and report["hr_mesh_ours2ref_p999"] <= MAX_HR_GEOM
+                 and report["hr_cloud_ours2ref_p999"] <= MAX_HR_GEOM
+                 and report["hr_mesh_color_mean_abs"] <= MAX_HR_COLOR
+                 and report["hr_cloud_color_mean_abs"] <= MAX_HR_COLOR
+                 and report["hr_cloud_normal_dot_p01"] >= MIN_HR_NRM_DOT)
+        ba_conv_ok = ba_conv_ok and hr_ok
     elif opts.ba:
         report["ba_skipped"] = f"PhotoBA binary missing at {ba_bin}"
 

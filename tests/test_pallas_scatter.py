@@ -34,3 +34,31 @@ def test_scatter_add_rows_empty_and_padding():
     out = scatter_add_rows(idx, val, 300, chunk=64, interpret=True)
     assert float(jnp.sum(jnp.abs(out))) == 0.0
     assert out.shape == (300,)
+
+
+def test_scatter_add_multi_matches_numpy():
+    """5-field lane-packed one-pass kernel (interpret mode), including
+    carry-in accumulation across calls (the chunked-fusion contract)."""
+    from gradient_sdf_tpu.ops.pallas.scatter_add import (
+        scatter_add_multi, unpack_multi)
+
+    rng = np.random.default_rng(3)
+    N, V = 5000, 1600
+    idx = rng.integers(-5, V + 5, size=N).astype(np.int32)
+    vals = rng.standard_normal((N, 5)).astype(np.float32)
+    packed = scatter_add_multi(jnp.asarray(idx), jnp.asarray(vals), V,
+                               interpret=True)
+    got = np.asarray(unpack_multi(packed, V, 5))
+    want = np.zeros((V, 5), np.float32)
+    ok = (idx >= 0) & (idx < V)
+    np.add.at(want, idx[ok], vals[ok])
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    # second call carries the first call's accumulator
+    idx2 = rng.integers(0, V, size=N).astype(np.int32)
+    vals2 = rng.standard_normal((N, 5)).astype(np.float32)
+    packed2 = scatter_add_multi(jnp.asarray(idx2), jnp.asarray(vals2), V,
+                                acc=packed, interpret=True)
+    np.add.at(want, idx2, vals2)
+    np.testing.assert_allclose(np.asarray(unpack_multi(packed2, V, 5)),
+                               want, atol=1e-4)
