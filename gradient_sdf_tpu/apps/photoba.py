@@ -45,6 +45,13 @@ def build_parser():
     p.add_argument("--voxel-size", dest="voxel_size", type=float, default=0.01)
     p.add_argument("--trunc", type=float, default=5.0)
     p.add_argument("--zmax", type=float, default=3.5)
+    p.add_argument("--pose-file", dest="pose_file", default=None,
+                   help="TUM trajectory relative to --input: phase 1 runs "
+                        "FUSION-ONLY with these poses (tracking bypassed, "
+                        "every frame treated as converged). Used by the "
+                        "golden parity harness to pin phase-1 state to the "
+                        "reference binary's own tracked trajectory so the "
+                        "BA comparison is isolated from tracking fp noise.")
     p.add_argument("--key-frame", dest="key_frame", type=int, default=30,
                    help="maximum number of keyframes used in BA")
     p.add_argument("--coupled-poses", action="store_true",
@@ -115,6 +122,14 @@ def run_photoba(args) -> dict:
     sdf_map = GradSdfMap(cfg, with_vis=True)
     os.makedirs(args.results, exist_ok=True)
 
+    gt_poses = None
+    if getattr(args, "pose_file", None):
+        loaded = loader.load_poses(args.pose_file)
+        if loaded:
+            gt_poses = [(np.asarray(R), np.asarray(t))
+                        for _, R, t in loaded]
+            print(f"{len(gt_poses)} poses loaded; phase 1 is fusion-only")
+
     R_cur = jnp.eye(3, dtype=jnp.float32)
     t_cur = jnp.zeros(3, dtype=jnp.float32)
     pose_entries = []
@@ -136,22 +151,35 @@ def run_photoba(args) -> dict:
             # memory to O(max_keyframes) images (the reference copies EVERY
             # candidate image into RAM, main_photo_ba.cpp:228-231/:252-254)
             slot = len(keyframes)
-            sdf_map.setup(depth, K, kf_slot=slot)
+            if gt_poses is not None:
+                R0, t0 = gt_poses[0]
+                R_cur = jnp.asarray(R0)
+                t_cur = jnp.asarray(t0)
+                sdf_map.setup(depth, K, pose=(R_cur, t_cur), kf_slot=slot)
+                first_pose = (np.asarray(R0, np.float32),
+                              np.asarray(t0, np.float32))
+            else:
+                sdf_map.setup(depth, K, kf_slot=slot)
+                first_pose = (np.eye(3, dtype=np.float32),
+                              np.zeros(3, dtype=np.float32))
             keyframes.append(dict(frame=i - args.first, stamp=frame.timestamp,
-                                  index=i,
-                                  pose=(np.eye(3, dtype=np.float32),
-                                        np.zeros(3, dtype=np.float32)),
-                                  slot=slot))
+                                  index=i, pose=first_pose, slot=slot))
         else:
-            T.tic()
-            # live map config: grid capacity/directory may grow mid-run
-            res = tracker_mod.track_frame(
-                sdf_map.grid, depth, jnp.asarray(K), R_cur, t_cur,
-                sdf_map.cfg.grid, sdf_map.cfg.fusion, cfg.tracker,
-            )
-            T.toc("Point optimization")
-            R_cur, t_cur = res.R, res.t
-            if bool(res.converged):
+            if gt_poses is not None:
+                R_cur = jnp.asarray(gt_poses[i - args.first][0])
+                t_cur = jnp.asarray(gt_poses[i - args.first][1])
+                conv = True
+            else:
+                T.tic()
+                # live map config: capacity/directory may grow mid-run
+                res = tracker_mod.track_frame(
+                    sdf_map.grid, depth, jnp.asarray(K), R_cur, t_cur,
+                    sdf_map.cfg.grid, sdf_map.cfg.fusion, cfg.tracker,
+                )
+                T.toc("Point optimization")
+                R_cur, t_cur = res.R, res.t
+                conv = bool(res.converged)
+            if conv:
                 wants_kf = (
                     sharpness.sharp_detector(frame.color, sharp_thr)
                     or dist_to_last_kf > cfg.photo_ba.keyframe_gap
