@@ -72,7 +72,6 @@ def main():
         return t_s
 
     t_base = rc("baseline (stride-4 prior, default schedule)")
-    rc("no refine", refine=False)
     rc("no prior", prior_stride=0)
     rc("prior stride 8", prior_stride=8)
     rc("burst 20", burst_steps=20)
