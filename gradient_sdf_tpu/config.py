@@ -62,6 +62,11 @@ class FusionConfig:
     # (PERF_NOTES.md): cost ~ 0.69 ms/kray + ~1 ms/chunk fixed; 16k chunks
     # beat 32k (less last-chunk padding) and 8k (fixed cost dominates) on
     # the VGA bench scene.
+    dedup_lookup: bool = False        # gather block slots only where the
+    # key CHANGES along each ray's walk (consecutive samples share their
+    # block ~4-5x; vg.lookup_keys_dedup: nonzero-compacted change
+    # positions + log-shift forward fill). Bit-identical slots; measured
+    # verdict in PERF_NOTES.md round 3.
     acc_pallas: bool = False          # per-frame accumulators as ONE
     # lane-packed Pallas row-RMW pass (all 5 fields per sample in a single
     # VMEM-resident RMW, ops/pallas/scatter_add.scatter_add_multi) instead

@@ -219,21 +219,30 @@ def _sample_frame(
     return _ray_samples(rays, R, t, gcfg, fcfg)
 
 
-def _alloc_slots(grid: vg.VoxelGrid, s: FrameSamples, gcfg: GridConfig):
+def _alloc_slots(grid: vg.VoxelGrid, s: FrameSamples, gcfg: GridConfig,
+                 walk_k: int = 0):
     """Block allocation + scatter-slot lookup for one sample batch.
 
     On steady-state batches (no unseen blocks) the whole claim/insert pass
     and its re-lookup are skipped — the initial lookup both answers
-    "anything new?" and provides the scatter slots.
+    "anything new?" and provides the scatter slots. With `walk_k` (the
+    per-ray walk length, FusionConfig.dedup_lookup) the lookup gathers
+    only positions where the block key CHANGES along each ray
+    (vg.lookup_keys_dedup — ~4-5x fewer random reads, bit-identical).
 
     Returns (grid, lin, ok): flat voxel indices (out-of-map samples pointed
     one past the end so `mode="drop"` discards them) and their validity."""
-    slot0 = vg.lookup_keys(grid, s.keys, gcfg)
+    def look(g):
+        if walk_k > 1:
+            return vg.lookup_keys_dedup(g, s.keys, gcfg, walk_k)
+        return vg.lookup_keys(g, s.keys, gcfg)
+
+    slot0 = look(grid)
     need = (s.keys >= 0) & (slot0 < 0)
 
     def _with_insert(g):
         g2 = vg.insert_new(g, s.keys, need, gcfg)
-        return g2, vg.lookup_keys(g2, s.keys, gcfg)
+        return g2, look(g2)
 
     def _no_insert(g):
         return g, slot0
@@ -361,9 +370,9 @@ def _merge_vis(grid: vg.VoxelGrid, vis, touched_flat, kf_slot):
 
 
 def _integrate_samples(grid, s: FrameSamples, gcfg, accumulate_gradients,
-                       vis, kf_slot, mode="fields"):
+                       vis, kf_slot, mode="fields", walk_k=0):
     """Allocate + scatter + merge one batch of samples (and mark vis)."""
-    grid, lin, ok = _alloc_slots(grid, s, gcfg)
+    grid, lin, ok = _alloc_slots(grid, s, gcfg, walk_k)
     nvox = grid.num_blocks * grid.voxels_per_block
     accs = _zero_accs(grid, accumulate_gradients, mode)
     accs = _scatter_samples(accs, lin, s, mode, nvox)
@@ -425,11 +434,13 @@ def fuse_frame(
         chunk = max(8 * 1024, chunk // (stride * stride))
 
     mode = acc_mode(gcfg, fcfg)
+    walk_k = ((2 * int(fcfg.trunc_voxels) + 1)
+              if getattr(fcfg, "dedup_lookup", False) else 0)
     if chunk <= 0 or chunk >= n_rays:
         # single full-frame pass (no compaction)
         s = _ray_samples(rays, R, t, gcfg, fcfg)
         grid, vis = _integrate_samples(
-            grid, s, gcfg, accumulate_gradients, vis, kf_slot, mode
+            grid, s, gcfg, accumulate_gradients, vis, kf_slot, mode, walk_k
         )
         return (grid, vis) if vis is not None else grid
 
@@ -461,7 +472,7 @@ def fuse_frame(
         start, g, accs, touched = carry
         rc = _gather_ray_chunk(rays, idx, start, chunk, count)
         s = _ray_samples(rc, R, t, gcfg, fcfg)
-        g, lin, ok = _alloc_slots(g, s, gcfg)
+        g, lin, ok = _alloc_slots(g, s, gcfg, walk_k)
         accs = _scatter_samples(accs, lin, s, mode, nvox)
         if has_vis:
             touched = touched.at[lin].max(ok.astype(jnp.int32), mode="drop")

@@ -209,6 +209,51 @@ def lookup_keys(grid: VoxelGrid, keys: jax.Array, cfg: GridConfig) -> jax.Array:
     return jnp.where(keys >= 0, slot, -1)
 
 
+def lookup_keys_dedup(grid: VoxelGrid, keys: jax.Array, cfg: GridConfig,
+                      K: int, cap_per_ray: int = 5) -> jax.Array:
+    """lookup_keys for per-ray sample walks, paying one random gather per
+    DISTINCT consecutive block instead of per sample.
+
+    `keys` is flat [C*K] laid out as C rays x K consecutive walk samples
+    (fusion's 2*floor(T/vs)+1 steps): consecutive samples share their
+    block ~4-5x on average, so only positions where the key CHANGES are
+    gathered (nonzero-compacted to a C*cap_per_ray buffer; rays with more
+    distinct blocks than cap fall back to the full-width gather via
+    lax.cond) and the slots forward-filled along the walk (log-shift
+    fill). Bit-identical to lookup_keys (equality-tested)."""
+    flat = keys.reshape(-1, K)
+    C = flat.shape[0]
+    change = jnp.concatenate(
+        [jnp.ones((C, 1), bool), flat[:, 1:] != flat[:, :-1]], axis=1)
+    fchange = change.reshape(-1)
+    cnt = jnp.sum(fchange.astype(jnp.int32))
+    cap = C * cap_per_ray
+
+    def dedup():
+        (idx,) = jnp.nonzero(fchange, size=cap, fill_value=0)
+        valid = jnp.arange(cap, dtype=jnp.int32) < cnt
+        got = lookup_keys(grid, keys.reshape(-1)[idx], cfg)  # >= -1
+        # sentinel -2 = "not a change position": forward-fill from the
+        # last change position on the left (same block -> same slot)
+        sparse = jnp.full((C * K,), -2, jnp.int32).at[
+            jnp.where(valid, idx, C * K)
+        ].set(got, mode="drop")
+        ss = sparse.reshape(C, K)
+        shift = 1
+        while shift < K:
+            shifted = jnp.concatenate(
+                [jnp.full((C, shift), -2, jnp.int32), ss[:, :-shift]],
+                axis=1)
+            ss = jnp.where(ss == -2, shifted, ss)
+            shift *= 2
+        return ss.reshape(keys.shape)
+
+    def full():
+        return lookup_keys(grid, keys, cfg)
+
+    return jax.lax.cond(cnt <= cap, dedup, full)
+
+
 def lookup_coarse(grid: VoxelGrid, points: jax.Array, cfg: GridConfig):
     """World points (…,3) -> coarse-cell occupancy (bool); False outside
     the representable volume. One gather from a tiny (128 KB) array."""

@@ -376,3 +376,40 @@ def test_pallas_accumulator_matches_default():
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(pal.grad), np.asarray(ref.grad),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_dedup_lookup_matches_default(world, cache):
+    """dedup_lookup (slots gathered only at per-ray block-key changes,
+    forward-filled) must produce bit-identical fused state."""
+    import dataclasses
+
+    fcfgd = dataclasses.replace(FCFG, dedup_lookup=True)
+    ref = vg.create(GCFG)
+    ded = vg.create(GCFG)
+    for i in range(3):
+        R, t = make_pose(i)
+        depth = synth.render_depth(world, jnp.asarray(R), jnp.asarray(t),
+                                   K, W, H)
+        ref = fusion.fuse_frame(ref, depth, cache, jnp.asarray(R),
+                                jnp.asarray(t), GCFG, FCFG)
+        ded = fusion.fuse_frame(ded, depth, cache, jnp.asarray(R),
+                                jnp.asarray(t), GCFG, fcfgd)
+    assert int(ded.num_active) == int(ref.num_active)
+    np.testing.assert_array_equal(np.asarray(ded.weight),
+                                  np.asarray(ref.weight))
+    np.testing.assert_array_equal(np.asarray(ded.dist), np.asarray(ref.dist))
+    np.testing.assert_array_equal(np.asarray(ded.grad), np.asarray(ref.grad))
+
+    # raw slot equality incl. the overflow fallback path (cap_per_ray=1
+    # forces full-width fallback)
+    R, t = make_pose(1)
+    depth = synth.render_depth(world, jnp.asarray(R), jnp.asarray(t), K, W, H)
+    normal_img = fusion.compute_normals(cache, depth)
+    rays = fusion._pixel_rays(depth, normal_img, cache, FCFG)
+    s = fusion._ray_samples(rays, jnp.asarray(R), jnp.asarray(t), GCFG, FCFG)
+    kk = 2 * int(FCFG.trunc_voxels) + 1
+    a = vg.lookup_keys(ref, s.keys, GCFG)
+    b = vg.lookup_keys_dedup(ref, s.keys, GCFG, kk)
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+    c = vg.lookup_keys_dedup(ref, s.keys, GCFG, kk, cap_per_ray=1)
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(a))
