@@ -21,6 +21,7 @@ import dataclasses
 import json
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -70,7 +71,8 @@ def build_parser():
                         "band). Non-parity: per-voxel integration weights "
                         "scale by ~1/4, tracking uses ~1/9 of the pixels "
                         "(accuracy covered by tests/test_tracker.py stride "
-                        "tests). Explicit --sampling/--fusion-stride win")
+                        "tests); also enables --merged-step. Explicit "
+                        "--sampling/--fusion-stride win")
     p.add_argument("--eval-gt", dest="eval_gt", default="groundtruth.txt",
                    help="TUM-format GT trajectory (relative to --input) used "
                         "ONLY for ATE evaluation of the tracked poses; "
@@ -84,6 +86,14 @@ def build_parser():
                    help="resume reconstruction from a state checkpoint")
     p.add_argument("--profile", default=None,
                    help="write a jax.profiler trace of one frame to this dir")
+    p.add_argument("--merged-step", dest="merged_step", action="store_true",
+                   help="run tracking + conditionally-gated fusion as ONE "
+                        "jitted program per frame (lax.cond on convergence; "
+                        "identical semantics). Removes the mid-frame "
+                        "device->host sync on the convergence flag — on a "
+                        "REMOTE TPU that sync costs a ~26 ms RPC per frame "
+                        "(PERF_NOTES.md); on local devices the gain is "
+                        "sub-ms, hence opt-in.")
     return p
 
 
@@ -131,6 +141,7 @@ def run_scan(args) -> dict:
     R_cur = jnp.eye(3, dtype=jnp.float32)
     t_cur = jnp.zeros(3, dtype=jnp.float32)
     invalid_frames = []
+    merged_jit = {"key": None, "fn": None}  # --merged-step program cache
     last = None if args.last < 0 else args.last + 1
 
     first = args.first
@@ -195,8 +206,6 @@ def run_scan(args) -> dict:
         print(f"Working on frame: {i}")
         if args.profile and n_frames == 2 and not profiled:
             # third frame: compiles are done, steady-state behavior
-            import jax
-
             jax.profiler.start_trace(args.profile)
             profiled = True
         T.tic()
@@ -218,6 +227,38 @@ def run_scan(args) -> dict:
             t_cur = jnp.asarray(gt[i][2])
             sdf_map.update(depth, K, (R_cur, t_cur))
             T.toc("Integrate depth data into Sdf")
+        elif getattr(args, "merged_step", False) or getattr(args, "fast",
+                                                            False):
+            # one program: track + lax.cond-gated fuse (no mid-frame sync)
+            T.tic()
+            sdf_map.ensure_cache(np.asarray(K), depth.shape[1],
+                                 depth.shape[0])
+            key = (sdf_map.cfg.grid, sdf_map.cfg.fusion, cfg.tracker,
+                   track_mode)
+            if merged_jit.get("key") != key:
+                gcfg_l, fcfg_l = sdf_map.cfg.grid, sdf_map.cfg.fusion
+                cache_l, tcfg_l, mode_l = sdf_map.cache, cfg.tracker, track_mode
+                merged_jit["fn"] = jax.jit(
+                    lambda g, d, R, t: tracker_mod.track_and_fuse_frame(
+                        g, d, jnp.asarray(K), R, t, cache_l,
+                        gcfg_l, fcfg_l, tcfg_l, mode=mode_l))
+                merged_jit["key"] = key
+            new_grid, res = merged_jit["fn"](sdf_map.grid, depth, R_cur,
+                                             t_cur)
+            conv = bool(res.converged)
+            R_cur, t_cur = res.R, res.t
+            sdf_map.grid = new_grid
+            if conv:
+                sdf_map.counter += 1
+                if bool(sdf_map.grid.overflow):
+                    sdf_map._grow()
+                    merged_jit["key"] = None
+                if int(sdf_map.grid.oob_samples) > 0:
+                    sdf_map._grow_directory()
+                    merged_jit["key"] = None
+            else:
+                invalid_frames.append(i)
+            T.toc("Track+fuse (merged)")
         else:
             T.tic()
             # read grid/fusion config from the map: capacity or directory
@@ -243,8 +284,6 @@ def run_scan(args) -> dict:
         )
         n_frames += 1
         if profiled and n_frames == 3:
-            import jax
-
             jax.profiler.stop_trace()
 
         if args.checkpoint_every and (sdf_map.counter % args.checkpoint_every == 0):

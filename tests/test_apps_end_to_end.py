@@ -147,3 +147,41 @@ def test_scan3d_fast_preset(synth_dir, tmp_path):
     _, tr_est = rel(traj, 3)
     _, tr_gt = rel(gt, 3)
     assert np.linalg.norm(tr_est - tr_gt) < 0.2 * max(np.linalg.norm(tr_gt), 1e-9) + 0.02
+
+
+def test_scan3d_merged_step_matches_semantics(synth_dir, tmp_path):
+    """--merged-step (one jitted track + lax.cond-gated fuse per frame)
+    must reproduce the split-program behavior: same frame bookkeeping and
+    a near-identical trajectory (fp-level program differences only)."""
+    res_a = str(tmp_path / "out_split")
+    res_b = str(tmp_path / "out_merged")
+    base = ["--input", synth_dir, "--pose-file", "nonexistent.txt",
+            "--data-type", "synth", "--voxel-size", "0.02", "--trunc", "5",
+            "--last", "3"]
+    m_a = scan3d.run_scan(scan3d.build_parser().parse_args(
+        base + ["--results", res_a]))
+    m_b = scan3d.run_scan(scan3d.build_parser().parse_args(
+        base + ["--results", res_b, "--merged-step"]))
+    assert m_b["frames"] == m_a["frames"]
+    ta = tumio.read_trajectory(os.path.join(res_a, "_poses.txt"))
+    tb = tumio.read_trajectory(os.path.join(res_b, "_poses.txt"))
+    gt = tumio.read_trajectory(os.path.join(synth_dir, "gt_poses.txt"))
+    assert [s for s, _, _ in ta] == [s for s, _, _ in tb]
+
+    # at this tiny 96x72 resolution the GN noise floor is ~cm and a
+    # different program's fp rounding shifts the endpoint within it; the
+    # semantics check is the same ACCURACY bound as the tracking e2e test
+    def rel(traj, i):
+        from gradient_sdf_tpu.utils import se3
+        import jax.numpy as jnp
+
+        R0, t0 = jnp.asarray(traj[0][1]), jnp.asarray(traj[0][2])
+        Ri, ti = jnp.asarray(traj[i][1]), jnp.asarray(traj[i][2])
+        Rr, tr = se3.se3_mul(*se3.se3_inv(R0, t0), Ri, ti)
+        return np.asarray(Rr), np.asarray(tr)
+
+    _, tr_gt = rel(gt, 3)
+    for traj in (ta, tb):
+        _, tr_est = rel(traj, 3)
+        assert np.linalg.norm(tr_est - tr_gt) < \
+            0.2 * max(np.linalg.norm(tr_gt), 1e-9) + 0.02
