@@ -74,8 +74,11 @@ def measured_reference_fps():
     try:
         with open(path) as f:
             rep = json.load(f)
-        return (float(rep.get("ref_cpu_fps", REF_CPU_FPS_FALLBACK)),
-                rep.get("ref_cpu_fps_omp"))
+        # the BEST fps the reference achieved across harness runs (its
+        # timings bounce ~±15% run-to-run) is the honest comparison bar
+        return (float(rep.get("ref_cpu_fps_best",
+                              rep.get("ref_cpu_fps", REF_CPU_FPS_FALLBACK))),
+                rep.get("ref_cpu_fps_omp_best", rep.get("ref_cpu_fps_omp")))
     except (OSError, ValueError):
         return REF_CPU_FPS_FALLBACK, None
 
@@ -190,6 +193,34 @@ def main():
         result["stride2_fps"] = round(1.0 / (track_s2 + fuse_s), 3)
     except Exception as e:  # pragma: no cover
         result["track_error"] = repr(e)[:200]
+
+    try:
+        # the REAL app loop: one merged track+fuse program per frame with
+        # per-frame host syncs (scan3d --merged-step / --fast) — ties the
+        # headline to achievable end-to-end throughput
+        log("compiling merged step...")
+        merged = jax.jit(
+            lambda g, d, R, t: tracker.track_and_fuse_frame(
+                g, d, jnp.asarray(K), R, t, cache, gcfg, fcfg,
+                TrackerConfig(sampling=1)))
+        g2, _ = merged(grid, frames[1][0], *targs[0][2:])
+        jax.block_until_ready(g2.dist)
+
+        def app_loop():
+            g = grid
+            R, t = frames[0][1], frames[0][2]
+            t0 = time.perf_counter()
+            for i in range(1, 6):
+                g, res = merged(g, frames[i][0], R, t)
+                R, t = res.R, res.t
+            jax.block_until_ready(g.dist)
+            return (time.perf_counter() - t0) / 5
+
+        app_s = min(app_loop() for _ in range(3))
+        result["app_loop_ms_per_frame"] = round(app_s * 1e3, 2)
+        result["app_loop_fps"] = round(1.0 / app_s, 3)
+    except Exception as e:  # pragma: no cover
+        result["app_loop_error"] = repr(e)[:200]
 
     try:
         # fast mode: stride-2 fusion + stride-3 tracking (scan3d --fast)

@@ -496,8 +496,21 @@ def main():
     print(json.dumps(report, indent=2))
     # persist the measurement so bench.py reads the ACTUAL measured
     # reference fps for vs_measured_reference instead of a hardcoded copy
-    # (re-running this harness on new hardware refreshes it)
-    with open(os.path.join(REPO, "parity", "last_report.json"), "w") as f:
+    # (re-running this harness on new hardware refreshes it). Reference
+    # timings bounce ~±15% run-to-run on this host; the BEST observed fps
+    # is kept as the honest comparison bar.
+    path = os.path.join(REPO, "parity", "last_report.json")
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        prev = {}
+    for k in ("ref_cpu_fps", "ref_cpu_fps_omp"):
+        vals = [v for v in (report.get(k), prev.get(k), prev.get(k + "_best"))
+                if v]
+        if vals:
+            report[k + "_best"] = max(vals)
+    with open(path, "w") as f:
         json.dump(report, f, indent=2)
     ok = (set_delta <= MAX_VOXEL_SET_DELTA
           and w_mis <= MAX_W_MISMATCH_FRAC
