@@ -66,33 +66,41 @@ class PixelSdfMap:
         )
         self.counter += 1
         if bool(self.grid.overflow):
-            import dataclasses
+            self._grow()
+        if int(self.grid.oob_samples) > 0:
+            self._grow_directory()
 
-            self.grid, new_gcfg = vg.grow(self.grid, self.cfg.grid)
+    def _grow(self):
+        """Episodic host-side capacity growth (vg.grow); same contract as
+        GradSdfMap._grow (the merged scan3d step calls either)."""
+        import dataclasses
+
+        self.grid, new_gcfg = vg.grow(self.grid, self.cfg.grid)
+        self.cfg = dataclasses.replace(self.cfg, grid=new_gcfg)
+        self._fuse_jit = None
+        from ..utils.logging_util import get_logger
+
+        get_logger().warning("Grid grown to %d blocks",
+                             new_gcfg.num_blocks)
+        self.growth_events.append(
+            {"frame": self.counter, "kind": "capacity",
+             "num_blocks": int(new_gcfg.num_blocks)}
+        )
+
+    def _grow_directory(self):
+        import dataclasses
+
+        lost = int(self.grid.oob_samples)
+        self.grid, new_gcfg, grew = vg.handle_oob_growth(
+            self.grid, self.cfg.grid)
+        self.growth_events.append(
+            {"frame": self.counter, "kind": "world_range",
+             "dir_dim": int(new_gcfg.dir_dim), "oob_samples": lost,
+             "grew": grew}
+        )
+        if grew:
             self.cfg = dataclasses.replace(self.cfg, grid=new_gcfg)
             self._fuse_jit = None
-            from ..utils.logging_util import get_logger
-
-            get_logger().warning("Grid grown to %d blocks",
-                                 new_gcfg.num_blocks)
-            self.growth_events.append(
-                {"frame": self.counter, "kind": "capacity",
-                 "num_blocks": int(new_gcfg.num_blocks)}
-            )
-        if int(self.grid.oob_samples) > 0:
-            import dataclasses
-
-            lost = int(self.grid.oob_samples)
-            self.grid, new_gcfg, grew = vg.handle_oob_growth(
-                self.grid, self.cfg.grid)
-            self.growth_events.append(
-                {"frame": self.counter, "kind": "world_range",
-                 "dir_dim": int(new_gcfg.dir_dim), "oob_samples": lost,
-                 "grew": grew}
-            )
-            if grew:
-                self.cfg = dataclasses.replace(self.cfg, grid=new_gcfg)
-                self._fuse_jit = None
 
     def tsdf(self, points):
         phi, grad, _ = query.tsdf_trilinear(
