@@ -96,7 +96,28 @@ def main():
     # resident shard is half the blocks
     rows = {s.data.shape[0] for s in grid.dist.addressable_shards}
     assert rows == {gcfg.num_blocks // 2}, rows
-    print(f"DIST_OK pid={pid} active={na} wsum={wsum:.3f}", flush=True)
+
+    # sharded RENDER across the two processes: rays map-parallel over the
+    # whole 4-device mesh, block-sharded fields all-gathered over the
+    # cross-process block axis; must match a local single-device render
+    from gradient_sdf_tpu.ops import raycast
+
+    Rr, tr = (jnp.asarray(poses[1][0]), jnp.asarray(poses[1][1]))
+    d_par, n_par, h_par = jax.jit(
+        lambda g, R, t: sharding.sharded_render_depth_normal(
+            mesh, g, jnp.asarray(K), R, t, W, H, gcfg, fcfg,
+            s_max=2.5, max_steps=48),
+        out_shardings=NamedSharding(mesh, jax.sharding.PartitionSpec()),
+    )(grid, Rr, tr)
+    d_ref = raycast.render_depth_normal(
+        ref, jnp.asarray(K), Rr, tr, W, H, gcfg, fcfg, s_max=2.5,
+        prior_stride=0, max_steps=48)[0]
+    hits = int(jnp.sum(h_par))
+    assert hits > 100, hits
+    derr = float(jnp.max(jnp.abs(d_par - d_ref)))
+    assert derr < 1e-4, derr
+    print(f"DIST_OK pid={pid} active={na} wsum={wsum:.3f} "
+          f"render_hits={hits}", flush=True)
 
 
 if __name__ == "__main__":
