@@ -504,6 +504,113 @@ def raycast(
     )
 
 
+def block_raster_windows(grid: vg.VoxelGrid, K, R, t,
+                         width: int, height: int, gcfg: GridConfig,
+                         *, tile: int = 16, max_span: int = 4,
+                         active_cap: int = 4096):
+    """EXACT per-pixel march windows by rasterizing the active blocks.
+
+    Every observed zero crossing lies inside an allocated block (fusion
+    allocates the whole truncation band, MapGradPixelSdf.cpp:101-116), so
+    the union of the active blocks' bounding spheres bounds the surface:
+    each block is projected to the image, its conservative ray-parameter
+    range [|q| - r, |q| + r] scatter-min/maxed into a (H/tile x W/tile)
+    tile grid, and pixels take their tile's hull. Pixels whose tile no
+    block covers are EXACT misses — unlike the coarse stride-prior's
+    all-miss heuristic, no geometry of any size can be skipped.
+
+    Conservative escapes (windows only widen, never drop coverage):
+      * blocks whose projected span exceeds `max_span` tiles, or that
+        straddle the camera plane, contribute a GLOBAL range to every tile;
+      * more than `active_cap` active blocks -> full-range windows.
+
+    Returns (s_lo [H*W], s_hi [H*W]) ray-parameter bounds; empty windows
+    have s_lo > s_hi. Cost: one dense pass over `active_cap` blocks plus
+    ~3 scatters of active_cap * max_span^2 elements (~1-4 ms) — replaces
+    the stride-prior's low-res MARCH entirely.
+    """
+    vs = gcfg.voxel_size
+    bs = gcfg.block_shape
+    nb = grid.num_blocks
+    cap = min(active_cap, nb)
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    WT = -(-width // tile)
+    HT = -(-height // tile)
+
+    bc = grid.block_coords[:cap]
+    alive = jnp.arange(cap, dtype=jnp.int32) < grid.num_active
+    # block center / bounding radius (voxel i spans [i*vs - vs/2, +vs/2])
+    ccx = (bc[:, 0].astype(jnp.float32) * bs + 0.5 * (bs - 1)) * vs
+    ccy = (bc[:, 1].astype(jnp.float32) * bs + 0.5 * (bs - 1)) * vs
+    ccz = (bc[:, 2].astype(jnp.float32) * bs + 0.5 * (bs - 1)) * vs
+    r = 0.5 * bs * vs * jnp.sqrt(3.0).astype(jnp.float32)
+
+    dx_ = ccx - t[0]
+    dy_ = ccy - t[1]
+    dz_ = ccz - t[2]
+    qx = R[0, 0] * dx_ + R[1, 0] * dy_ + R[2, 0] * dz_
+    qy = R[0, 1] * dx_ + R[1, 1] * dy_ + R[2, 1] * dz_
+    qz = R[0, 2] * dx_ + R[1, 2] * dy_ + R[2, 2] * dz_
+    s_c = jnp.sqrt(qx * qx + qy * qy + qz * qz)
+    lo_b = jnp.maximum(s_c - r, 0.0)
+    hi_b = s_c + r
+
+    behind = alive & (qz + r <= 0.0)          # no forward ray reaches it
+    near = alive & ~behind & (qz <= r)        # straddles the camera plane
+    proj = alive & ~behind & ~near
+    qz_safe = jnp.where(proj, qz, 1.0)
+    u = fx * qx / qz_safe + cx
+    v = fy * qy / qz_safe + cy
+    ru = fx * r / jnp.maximum(qz_safe - r, 1e-6)
+    rv = fy * r / jnp.maximum(qz_safe - r, 1e-6)
+    tx0 = jnp.clip(jnp.floor((u - ru) / tile).astype(jnp.int32), 0, WT - 1)
+    tx1 = jnp.clip(jnp.floor((u + ru) / tile).astype(jnp.int32), 0, WT - 1)
+    ty0 = jnp.clip(jnp.floor((v - rv) / tile).astype(jnp.int32), 0, HT - 1)
+    ty1 = jnp.clip(jnp.floor((v + rv) / tile).astype(jnp.int32), 0, HT - 1)
+    offscreen = proj & ((u + ru < 0) | (u - ru >= width)
+                        | (v + rv < 0) | (v - rv >= height))
+    proj = proj & ~offscreen
+    wide = proj & ((tx1 - tx0 >= max_span) | (ty1 - ty0 >= max_span))
+    proj = proj & ~wide
+
+    # global (all-tile) contribution from near/wide blocks
+    glob = near | wide
+    glob_lo = jnp.min(jnp.where(glob, lo_b, jnp.inf))
+    glob_hi = jnp.max(jnp.where(glob, hi_b, -jnp.inf))
+
+    # scatter each projecting block's range into its covered tiles
+    ii = jnp.arange(max_span, dtype=jnp.int32)
+    tyi = ty0[:, None] + ii[None, :]                       # [cap, S]
+    txj = tx0[:, None] + ii[None, :]
+    ok_y = proj[:, None] & (tyi <= ty1[:, None])
+    ok_x = txj <= tx1[:, None]
+    idx = tyi[:, :, None] * WT + txj[:, None, :]           # [cap, S, S]
+    ok = ok_y[:, :, None] & ok_x[:, None, :]
+    nt = WT * HT
+    idx = jnp.where(ok, idx, nt).reshape(-1)
+    lo_s = jnp.broadcast_to(lo_b[:, None, None],
+                            (cap, max_span, max_span)).reshape(-1)
+    hi_s = jnp.broadcast_to(hi_b[:, None, None],
+                            (cap, max_span, max_span)).reshape(-1)
+    tiles_lo = jnp.full((nt,), jnp.inf).at[idx].min(lo_s, mode="drop")
+    tiles_hi = jnp.full((nt,), -jnp.inf).at[idx].max(hi_s, mode="drop")
+    tiles_lo = jnp.minimum(tiles_lo, glob_lo)
+    tiles_hi = jnp.maximum(tiles_hi, glob_hi)
+
+    # tiles -> pixels (empty tile: lo=inf > hi=-inf -> instant miss)
+    img_lo = jnp.repeat(jnp.repeat(tiles_lo.reshape(HT, WT), tile, 0),
+                        tile, 1)[:height, :width].reshape(-1)
+    img_hi = jnp.repeat(jnp.repeat(tiles_hi.reshape(HT, WT), tile, 0),
+                        tile, 1)[:height, :width].reshape(-1)
+
+    # conservative escape: too many active blocks -> full range everywhere
+    over = grid.num_active > cap
+    img_lo = jnp.where(over, 0.0, img_lo)
+    img_hi = jnp.where(over, jnp.inf, img_hi)
+    return img_lo, img_hi
+
+
 def camera_rays(K, R, t, width: int, height: int):
     """Per-pixel world-space rays for a camera-to-world pose.
 
@@ -554,6 +661,7 @@ def render_depth_normal(
     fcfg: FusionConfig,
     *,
     prior_stride: int = 4,
+    prior_mode: str = "stride",
     prior_miss_skip: bool = True,
     depth_prior: Optional[jax.Array] = None,
     depth_prior_holes: str = "march",
@@ -597,7 +705,15 @@ def render_depth_normal(
               else T + 2.0 * gcfg.voxel_size)
 
     s_lo = s_hi = None
-    if depth_prior is not None:
+    if depth_prior is None and prior_mode == "raster":
+        # EXACT culling prior: active blocks rasterized to screen tiles,
+        # per-pixel windows = hull of the covering blocks' ray-parameter
+        # ranges (block_raster_windows). No low-res march, no
+        # sub-coarse-pixel miss heuristic — tiles no block covers are
+        # provably empty of observed crossings.
+        s_lo, s_hi = block_raster_windows(grid, K, R, t, width, height,
+                                          gcfg)
+    elif depth_prior is not None:
         # Prior windows bound every WINDOWED ray to a few probes, so the
         # pre-compacted burst finishes them all and the straggler
         # re-compaction rounds are pure overhead: default to burst-only —

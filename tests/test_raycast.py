@@ -232,3 +232,41 @@ def test_depth_prior_tight_margin(fused):
     assert both.sum() > 0.93 * h0.sum()
     err = np.abs(np.asarray(d1)[both] - np.asarray(d0)[both])
     assert np.quantile(err, 0.99) < 1.5 * GCFG.voxel_size
+
+
+def test_raster_prior_matches_full_march(fused):
+    """prior_mode='raster' (active blocks rasterized to screen tiles ->
+    exact per-pixel windows) must reproduce the unwindowed march: misses
+    are PROVABLY exact (crossings live inside active blocks), hits may
+    bracket at sub-voxel differences only."""
+    world, poses, grid = fused
+    R, t = poses[3]
+    kw = dict(s_min=0.3, s_max=2.5)
+    d0, _, h0 = raycast.render_depth_normal(
+        grid, jnp.asarray(K), jnp.asarray(R), jnp.asarray(t), W, H, GCFG,
+        FCFG, prior_stride=0, **kw)
+    d1, _, h1 = raycast.render_depth_normal(
+        grid, jnp.asarray(K), jnp.asarray(R), jnp.asarray(t), W, H, GCFG,
+        FCFG, prior_mode="raster", **kw)
+    h0 = np.asarray(h0)
+    h1 = np.asarray(h1)
+    # exact culling: no full-march hit may be lost
+    assert not (h0 & ~h1).any()
+    # and the window can't invent hits beyond band-edge re-bracketing
+    assert (h1 & ~h0).sum() <= 0.005 * max(h0.sum(), 1)
+    both = h0 & h1
+    err = np.abs(np.asarray(d1)[both] - np.asarray(d0)[both])
+    assert np.quantile(err, 0.995) < 1.5 * GCFG.voxel_size
+    assert err.max() < 10 * GCFG.voxel_size
+
+    # window soundness directly: every hit depth lies inside its window
+    s_lo, s_hi = raycast.block_raster_windows(
+        grid, jnp.asarray(K), jnp.asarray(R), jnp.asarray(t), W, H, GCFG)
+    ray_s = np.asarray(d0).reshape(-1) / np.asarray(
+        raycast.camera_rays(jnp.asarray(K), jnp.asarray(R), jnp.asarray(t),
+                            W, H)[2])
+    hit_flat = h0.reshape(-1)
+    lo = np.asarray(s_lo)[hit_flat]
+    hi = np.asarray(s_hi)[hit_flat]
+    sv = ray_s[hit_flat]
+    assert (sv >= lo - 1e-4).all() and (sv <= hi + 1e-4).all()
