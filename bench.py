@@ -12,7 +12,7 @@ vs_measured_reference compares against the measured reference binary
 the OpenMP build); vs_baseline is fps / 30 (the BASELINE.md real-time
 target).
 
-Secondary fields: stride2_fps (stride-2 tracking, the scan3d VGA default),
+Secondary fields: stride2_fps (--sampling 2, the ~2x-cheaper stride),
 fast_fps (scan3d --fast), fusion Mvoxel-updates/s; raycast Mrays/s is
 measured on the round-1/2 comparable scene (vs=1 cm, 16-pose orbit) so the
 north-star numbers stay comparable across rounds.

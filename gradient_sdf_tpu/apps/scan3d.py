@@ -55,9 +55,10 @@ def build_parser():
     p.add_argument("--zmax", type=float, default=3.5, help="maximum depth")
     p.add_argument("--sampling", type=int, default=0,
                    help="tracking pixel stride (reference optimize_sampled, "
-                        "RigidPointOptimizer.h:63-66); 0 = auto: stride 2 at "
-                        "VGA+ resolutions (~4x cheaper, negligible accuracy "
-                        "loss), dense below")
+                        "RigidPointOptimizer.h:63-66); 0 = default DENSE "
+                        "(sampling=1, the reference optimize() default); "
+                        "stride 2 is ~2x cheaper at VGA with negligible "
+                        "accuracy loss")
     p.add_argument("--fusion-stride", dest="fusion_stride", type=int,
                    default=1,
                    help="integrate every s-th pixel's ray walk (1 = every "
@@ -185,14 +186,17 @@ def run_scan(args) -> dict:
     for frame in loader.frames(first, last):
         i = frame.index
         if not sampling_set:
-            # auto stride: 2 at VGA+ resolution, dense below. The ||xi||<1e-3
-            # convergence gate (RigidOptimizer.h:72) needs >= ~320x240
-            # effective residual resolution to fire reliably, so stride 2
-            # only engages when the post-stride image still has that many
-            # pixels (~77k residuals at 640x480)
-            fast_s = 3 if getattr(args, "fast", False) else 2
-            s = args.sampling or (fast_s if frame.depth.shape[1] >= 640
-                                  else 1)
+            # DENSE tracking by default (sampling=1) — the reference's
+            # optimize() default (RigidPointOptimizer.h:68-71) and, since
+            # round 3's packed row gathers, affordable (~16 ms at VGA on
+            # one v5e). --sampling opts into strides (reference
+            # optimize_sampled precedent); --fast uses stride 3 at VGA+
+            # (the ||xi||<1e-3 gate, RigidOptimizer.h:72, needs >= ~320x240
+            # effective residual resolution, so the fast stride only
+            # engages when the strided image keeps that many pixels)
+            fast_ok = (getattr(args, "fast", False)
+                       and frame.depth.shape[1] >= 640)
+            s = args.sampling or (3 if fast_ok else 1)
             cfg = dataclasses.replace(
                 cfg, tracker=dataclasses.replace(cfg.tracker, sampling=s)
             )
