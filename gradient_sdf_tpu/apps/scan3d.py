@@ -197,8 +197,20 @@ def run_scan(args) -> dict:
             fast_ok = (getattr(args, "fast", False)
                        and frame.depth.shape[1] >= 640)
             s = args.sampling or (3 if fast_ok else 1)
+            # --fast also relaxes the convergence gate to 2e-3: the
+            # reference's 1e-3 (RigidOptimizer.h:72) is tuned for dense
+            # VGA residual counts and sits ON the stride-3 GN noise floor.
+            # Measured on a 10-frame VGA run: 4/10 frames flagged
+            # non-converged (skipped from fusion) at 1e-3 vs 2/10 at 2e-3
+            # with ATE 1.4-1.5 mm either way; the remaining flakes are
+            # genuine GN oscillation at the strided floor (3e-3 does not
+            # recover them). Non-parity like the rest of the preset;
+            # explicit --sampling keeps the reference 1e-3.
+            conv = (2e-3 if (fast_ok and not args.sampling)
+                    else cfg.tracker.conv_threshold)
             cfg = dataclasses.replace(
-                cfg, tracker=dataclasses.replace(cfg.tracker, sampling=s)
+                cfg, tracker=dataclasses.replace(
+                    cfg.tracker, sampling=s, conv_threshold=conv)
             )
             if fast_fusion and frame.depth.shape[1] >= 640:
                 new_f = dataclasses.replace(sdf_map.cfg.fusion,
