@@ -214,3 +214,49 @@ def test_grow_directory_preserves_map_and_extends_range():
                              jnp.ones(len(vox_out), bool), cfg2)
     _, pres3 = vg.lookup_voxels(grid2, jnp.asarray(vox_out), cfg2)
     assert np.all(np.asarray(pres3))
+
+
+def test_lookup_keys_dedup_random_patterns():
+    """lookup_keys_dedup must equal lookup_keys on ADVERSARIAL walk
+    layouts: random change positions, EMPTY keys, out-of-range keys,
+    all-same rays, all-distinct rays (cap overflow -> fallback)."""
+    import numpy as np
+
+    cfg = GridConfig(voxel_size=0.02, num_blocks=256, dir_dim=32)
+    grid = vg.create(cfg)
+    rng = np.random.default_rng(11)
+    # allocate a handful of blocks
+    coords = jnp.asarray(rng.integers(-3, 3, (40, 3)).astype(np.int32))
+    keys_alloc = vg.pack_key(coords, cfg)
+    grid = vg.insert_keys(grid, keys_alloc, cfg)
+
+    C, K = 64, 11
+    pool = np.concatenate([
+        np.asarray(keys_alloc),
+        np.asarray([vg.EMPTY_KEY] * 8, np.int32),
+        rng.integers(0, cfg.dir_dim ** 3, 8).astype(np.int32),
+    ])
+    # rays with random run-length structure
+    walks = []
+    for _ in range(C):
+        row = []
+        while len(row) < K:
+            row += [pool[rng.integers(len(pool))]] * rng.integers(1, 5)
+        walks.append(row[:K])
+    keys = jnp.asarray(np.array(walks, np.int32).reshape(-1))
+    want = vg.lookup_keys(grid, keys, cfg)
+    got = vg.lookup_keys_dedup(grid, keys, cfg, K)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # all-distinct rays: 11 changes/ray > default cap 5 -> full fallback
+    keys_d = jnp.asarray(rng.permutation(
+        np.tile(pool[:K], C)).astype(np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(vg.lookup_keys_dedup(grid, keys_d, cfg, K)),
+        np.asarray(vg.lookup_keys(grid, keys_d, cfg)))
+
+    # all-identical rays: 1 change/ray
+    keys_s = jnp.asarray(np.repeat(pool[:C], K).astype(np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(vg.lookup_keys_dedup(grid, keys_s, cfg, K)),
+        np.asarray(vg.lookup_keys(grid, keys_s, cfg)))
