@@ -129,6 +129,21 @@ def run_photoba(args) -> dict:
             gt_poses = [(np.asarray(R), np.asarray(t))
                         for _, R, t in loaded]
             print(f"{len(gt_poses)} poses loaded; phase 1 is fusion-only")
+            # pose rows are indexed by (frame - first): a short file (or a
+            # full-trajectory file combined with --first > 0) would raise a
+            # raw IndexError mid-run or silently fuse misaligned poses
+            n_avail = (len(loader) if hasattr(loader, "__len__") else None)
+            n_need = ((last - args.first) if last is not None else n_avail)
+            if n_need is not None and len(gt_poses) < n_need:
+                raise SystemExit(
+                    f"pose file {args.pose_file} has {len(gt_poses)} poses "
+                    f"but frames {args.first}..{args.first + n_need - 1} "
+                    f"need {n_need}; rows are consumed as pose[frame - "
+                    f"first] — align --first/--last with the file")
+            if args.first != 0:
+                print(f"WARNING: --first={args.first}: pose rows are read "
+                      f"as pose[frame - {args.first}] — make sure the file "
+                      f"starts at that frame, not at frame 0")
 
     R_cur = jnp.eye(3, dtype=jnp.float32)
     t_cur = jnp.zeros(3, dtype=jnp.float32)
@@ -166,6 +181,11 @@ def run_photoba(args) -> dict:
                                   index=i, pose=first_pose, slot=slot))
         else:
             if gt_poses is not None:
+                if i - args.first >= len(gt_poses):
+                    raise SystemExit(
+                        f"pose file {args.pose_file} exhausted at frame {i} "
+                        f"({len(gt_poses)} poses, consumed as pose[frame - "
+                        f"{args.first}]); align --first/--last with the file")
                 R_cur = jnp.asarray(gt_poses[i - args.first][0])
                 t_cur = jnp.asarray(gt_poses[i - args.first][1])
                 conv = True

@@ -269,11 +269,27 @@ def acc_mode(gcfg: GridConfig, fcfg: FusionConfig) -> str:
         — requires the whole capacity to fit the VMEM-resident
         destination (<= ~600k voxels = 1171 blocks of 8^3)."""
     nvox = gcfg.num_blocks * gcfg.voxels_per_block
-    if getattr(fcfg, "acc_pallas", False) and nvox <= PALLAS_MAX_DESTS:
-        return "pallas"
+    if getattr(fcfg, "acc_pallas", False):
+        if nvox <= PALLAS_MAX_DESTS:
+            return "pallas"
+        # loud one-time fallback: a perf experiment requesting acc_pallas at
+        # a larger capacity would otherwise silently measure the default path
+        key = (gcfg.num_blocks, gcfg.voxels_per_block)
+        if key not in _PALLAS_FALLBACK_WARNED:
+            _PALLAS_FALLBACK_WARNED.add(key)
+            import warnings
+
+            warnings.warn(
+                f"acc_pallas requested but capacity {nvox} voxels exceeds "
+                f"PALLAS_MAX_DESTS={PALLAS_MAX_DESTS} (VMEM residency bound); "
+                f"falling back to the 'fields' accumulator", RuntimeWarning)
+        return "fields"
     if getattr(fcfg, "acc_rows8", False):
         return "rows8"
     return "fields"
+
+
+_PALLAS_FALLBACK_WARNED: set = set()
 
 
 def _zero_accs(grid: vg.VoxelGrid, accumulate_gradients: bool,

@@ -562,8 +562,14 @@ def block_raster_windows(grid: vg.VoxelGrid, K, R, t,
     qz_safe = jnp.where(proj, qz, 1.0)
     u = fx * qx / qz_safe + cx
     v = fy * qy / qz_safe + cy
-    ru = fx * r / jnp.maximum(qz_safe - r, 1e-6)
-    rv = fy * r / jnp.maximum(qz_safe - r, 1e-6)
+    # conservative silhouette half-extent: the naive fx*r/(qz-r) bound is
+    # exact only on-axis; an off-axis sphere's screen silhouette extends up
+    # to |q|/qz times further (the tangent cone tilts with the center ray),
+    # so scale by s_c/qz >= 1. The same bound gates the offscreen cull below
+    # so a partially visible block can never be wrongly culled.
+    sil = s_c / qz_safe
+    ru = fx * r * sil / jnp.maximum(qz_safe - r, 1e-6)
+    rv = fy * r * sil / jnp.maximum(qz_safe - r, 1e-6)
     tx0 = jnp.clip(jnp.floor((u - ru) / tile).astype(jnp.int32), 0, WT - 1)
     tx1 = jnp.clip(jnp.floor((u + ru) / tile).astype(jnp.int32), 0, WT - 1)
     ty0 = jnp.clip(jnp.floor((v - rv) / tile).astype(jnp.int32), 0, HT - 1)

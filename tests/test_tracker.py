@@ -221,8 +221,9 @@ def test_tracker_packed_row_gather_matches_default(setup):
     dR, dt = se3.se3_exp(xi)
     R0, t0 = se3.se3_mul(dR, dt, jnp.asarray(R_gt), jnp.asarray(t_gt))
     for iters in (1, 3):
-        a = tracker.track_frame(grid, depth, jnp.asarray(K), R0, t0, GCFG,
-                                FCFG, TrackerConfig(num_iterations=iters))
+        a = tracker.track_frame(
+            grid, depth, jnp.asarray(K), R0, t0, GCFG, FCFG,
+            TrackerConfig(num_iterations=iters, packed_row_gather=False))
         b = tracker.track_frame(
             grid, depth, jnp.asarray(K), R0, t0, GCFG, FCFG,
             TrackerConfig(num_iterations=iters, packed_row_gather=True))
