@@ -41,21 +41,67 @@ def _imread(path: str) -> np.ndarray:
         return np.asarray(im)
 
 
-def load_depth_png(path: str, unit: float) -> np.ndarray:
-    """16-bit depth PNG -> float32 meters (`ImageLoader.h:159-175`)."""
-    raw = _imread(path)
+def _depth_from_raw(raw: np.ndarray, unit: float) -> np.ndarray:
     return raw.astype(np.float32) * unit
 
 
-def load_color_png(path: str) -> np.ndarray:
-    """Color image -> float32 RGB in [0,1]; grayscale is replicated to 3
-    channels (`ImageLoader.h:196-217`)."""
-    raw = _imread(path)
+def _color_from_raw(raw: np.ndarray) -> np.ndarray:
     if raw.ndim == 2:
         raw = np.stack([raw] * 3, axis=-1)
     if raw.shape[-1] == 4:
         raw = raw[..., :3]
     return raw.astype(np.float32) / 255.0
+
+
+def load_depth_png(path: str, unit: float) -> np.ndarray:
+    """16-bit depth PNG -> float32 meters (`ImageLoader.h:159-175`)."""
+    return _depth_from_raw(_imread(path), unit)
+
+
+def load_color_png(path: str) -> np.ndarray:
+    """Color image -> float32 RGB in [0,1]; grayscale is replicated to 3
+    channels (`ImageLoader.h:196-217`)."""
+    return _color_from_raw(_imread(path))
+
+
+class _PrefetchReader:
+    """Ordered decode-ahead over a path list.
+
+    PNG files are decoded by the native threaded prefetcher
+    (`native.Prefetcher`, 2 worker threads, bounded decode-ahead window)
+    so disk IO + zlib inflate overlap the consumer's device compute; any
+    non-PNG path (Redwood rgb JPEGs) and any native-decoder failure fall
+    back to the synchronous `_imread` path. Frames come back identical to
+    the synchronous loader byte for byte (tests/test_loaders.py)."""
+
+    def __init__(self, paths: list, n_threads: int = 2, window: int = 16):
+        self._paths = paths
+        self._pf = None
+        self._pf_pos = {}  # path-list index -> prefetcher index
+        png = [(i, p) for i, p in enumerate(paths) if p.endswith(".png")]
+        if png:
+            from .. import native
+
+            if native.available():
+                try:
+                    self._pf = native.Prefetcher(
+                        [p for _, p in png], n_threads, window)
+                    self._pf_pos = {i: j for j, (i, _) in enumerate(png)}
+                except Exception:
+                    self._pf = None
+
+    def get(self, i: int) -> np.ndarray:
+        j = self._pf_pos.get(i)
+        if self._pf is not None and j is not None:
+            arr = self._pf.get(j)
+            if arr is not None:
+                return arr
+        return _imread(self._paths[i])
+
+    def close(self):
+        if self._pf is not None:
+            self._pf.close()
+            self._pf = None
 
 
 @dataclasses.dataclass
@@ -90,8 +136,35 @@ class ImageLoader:
             return None
         return tumio.read_trajectory(p)
 
-    def frames(self, first: int = 0, last: Optional[int] = None) -> Iterator[Frame]:
+    def _frame_specs(self, first: int, last: Optional[int]):
+        """Ordered list of (index, timestamp, color_path, depth_path) for
+        the requested range — the loader-specific directory convention.
+        Enables the shared decode-ahead `frames()` below."""
         raise NotImplementedError
+
+    def frames(self, first: int = 0, last: Optional[int] = None) -> Iterator[Frame]:
+        """Iterate frames with decode-ahead: the file list is enumerated up
+        front and handed to the native threaded prefetcher (fallback:
+        synchronous decode), so the NEXT frames' PNG inflate overlaps this
+        frame's consumption — on the TPU app loop, frame decode leaves the
+        per-frame critical path entirely."""
+        specs = self._frame_specs(first, last)
+        paths = []
+        for _, _, cp, dp in specs:
+            paths.append(cp)
+            paths.append(dp)
+        reader = _PrefetchReader(paths)
+        try:
+            for k, (i, ts, cp, dp) in enumerate(specs):
+                self.timestamps.append(ts)
+                yield Frame(
+                    color=_color_from_raw(reader.get(2 * k)),
+                    depth=_depth_from_raw(reader.get(2 * k + 1), self.unit),
+                    timestamp=ts,
+                    index=i,
+                )
+        finally:
+            reader.close()
 
     def load_keyframe(self, index: int) -> Optional[Frame]:
         return None
@@ -126,17 +199,14 @@ class TumrgbdLoader(ImageLoader):
                 ts_rgb, rgb_f, ts_depth, depth_f = line.split()[:4]
                 self.assoc.append((ts_rgb, rgb_f, ts_depth, depth_f))
 
-    def frames(self, first=0, last=None):
+    def _frame_specs(self, first=0, last=None):
         last = len(self.assoc) if last is None else min(last, len(self.assoc))
-        for i in range(first, last):
-            ts_rgb, rgb_f, ts_depth, depth_f = self.assoc[i]
-            self.timestamps.append(ts_rgb)
-            yield Frame(
-                color=load_color_png(os.path.join(self.path, rgb_f)),
-                depth=load_depth_png(os.path.join(self.path, depth_f), self.unit),
-                timestamp=ts_rgb,
-                index=i,
-            )
+        return [
+            (i, self.assoc[i][0],
+             os.path.join(self.path, self.assoc[i][1]),
+             os.path.join(self.path, self.assoc[i][3]))
+            for i in range(first, last)
+        ]
 
     def __len__(self):
         return len(self.assoc)
@@ -158,20 +228,15 @@ class RedwoodLoader(ImageLoader):
         self.depth_files = sorted(os.listdir(os.path.join(self.path, "depth")))
         self.rgb_files = sorted(os.listdir(os.path.join(self.path, "rgb")))
 
-    def frames(self, first=0, last=None):
+    def _frame_specs(self, first=0, last=None):
         n = min(len(self.depth_files), len(self.rgb_files))
         last = n if last is None else min(last, n)
-        for i in range(first, last):
-            ts = os.path.splitext(self.depth_files[i])[0]
-            self.timestamps.append(ts)
-            yield Frame(
-                color=load_color_png(os.path.join(self.path, "rgb", self.rgb_files[i])),
-                depth=load_depth_png(
-                    os.path.join(self.path, "depth", self.depth_files[i]), self.unit
-                ),
-                timestamp=ts,
-                index=i,
-            )
+        return [
+            (i, os.path.splitext(self.depth_files[i])[0],
+             os.path.join(self.path, "rgb", self.rgb_files[i]),
+             os.path.join(self.path, "depth", self.depth_files[i]))
+            for i in range(first, last)
+        ]
 
     def __len__(self):
         return min(len(self.depth_files), len(self.rgb_files))
@@ -195,22 +260,17 @@ class SynthLoader(ImageLoader):
     def _name(self, i: int) -> str:
         return f"{i + 1:03d}.png"
 
-    def frames(self, first=0, last=None):
+    def _frame_specs(self, first=0, last=None):
+        specs = []
         i = first
         while last is None or i < last:
             dp = os.path.join(self.path, "depth", self._name(i))
             cp = os.path.join(self.path, "rgb", self._name(i))
             if not (os.path.isfile(dp) and os.path.isfile(cp)):
-                return
-            ts = f"{i + 1:03d}"
-            self.timestamps.append(ts)
-            yield Frame(
-                color=load_color_png(cp),
-                depth=load_depth_png(dp, self.unit),
-                timestamp=ts,
-                index=i,
-            )
+                break
+            specs.append((i, f"{i + 1:03d}", cp, dp))
             i += 1
+        return specs
 
     def load_color_at(self, index: int):
         cp = os.path.join(self.path, "rgb", self._name(index))
@@ -240,22 +300,17 @@ class Printed3dLoader(ImageLoader):
         cp = os.path.join(self.path, f"color_{index:06d}.png")
         return load_color_png(cp) if os.path.isfile(cp) else None
 
-    def frames(self, first=0, last=None):
+    def _frame_specs(self, first=0, last=None):
+        specs = []
         i = first
         while last is None or i < last:
             dp = os.path.join(self.path, f"depth_{i:06d}.png")
             cp = os.path.join(self.path, f"color_{i:06d}.png")
             if not (os.path.isfile(dp) and os.path.isfile(cp)):
-                return
-            ts = f"{i:06d}"
-            self.timestamps.append(ts)
-            yield Frame(
-                color=load_color_png(cp),
-                depth=load_depth_png(dp, self.unit),
-                timestamp=ts,
-                index=i,
-            )
+                break
+            specs.append((i, f"{i:06d}", cp, dp))
             i += 1
+        return specs
 
 
 def make_loader(data_type: str, path: str) -> ImageLoader:

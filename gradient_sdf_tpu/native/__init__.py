@@ -62,6 +62,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.prefetcher_create.restype = ctypes.c_void_p
     lib.prefetcher_create.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
     ]
     lib.prefetcher_meta.restype = ctypes.c_int
     lib.prefetcher_meta.argtypes = [
@@ -165,16 +166,21 @@ def dedup_vertices(verts: np.ndarray, quantum: float):
 
 
 class Prefetcher:
-    """Threaded PNG prefetcher over an ordered file list."""
+    """Threaded PNG prefetcher over an ordered file list.
 
-    def __init__(self, paths, n_threads: int = 2):
+    `window` bounds the decode-ahead: at most that many decoded-but-
+    unconsumed frames are resident at once (memory O(window), not
+    O(sequence)); 0 = unbounded."""
+
+    def __init__(self, paths, n_threads: int = 2, window: int = 16):
         lib = _load()
         if lib is None:
             raise RuntimeError("native library unavailable")
         self._lib = lib
         self._paths = [p.encode() for p in paths]
         arr = (ctypes.c_char_p * len(self._paths))(*self._paths)
-        self._handle = lib.prefetcher_create(arr, len(self._paths), n_threads)
+        self._handle = lib.prefetcher_create(arr, len(self._paths),
+                                             n_threads, window)
         self._n = len(paths)
 
     def get(self, i: int) -> Optional[np.ndarray]:

@@ -201,25 +201,41 @@ struct Prefetcher {
   std::vector<int> meta;                      // w,h,depth,channels per frame
   std::vector<std::atomic<int>> status;       // 0 pending, 1 ok, <0 error
   std::atomic<size_t> next{0};
+  // decode-ahead bound: workers stall once `window` frames past the
+  // consumer's position are resident, so memory stays O(window) decoded
+  // frames instead of O(sequence) on long captures
+  size_t window;
+  size_t consumed = 0;  // guarded by mu
+  bool shutdown = false;
   std::vector<std::thread> workers;
   std::mutex mu;
   std::condition_variable cv;
 
-  explicit Prefetcher(std::vector<std::string> p, int n_threads)
+  explicit Prefetcher(std::vector<std::string> p, int n_threads, int win)
       : paths(std::move(p)), decoded(paths.size()), meta(paths.size() * 4),
-        status(paths.size()) {
+        status(paths.size()),
+        window(win > 0 ? size_t(win) : paths.size()) {
     for (auto& s : status) s.store(0);
     for (int i = 0; i < n_threads; ++i)
       workers.emplace_back([this] { run(); });
   }
   ~Prefetcher() {
-    next.store(paths.size());
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      shutdown = true;
+    }
+    cv.notify_all();
     for (auto& w : workers) w.join();
   }
   void run() {
     for (;;) {
       size_t i = next.fetch_add(1);
       if (i >= paths.size()) return;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv.wait(lk, [&] { return shutdown || i < consumed + window; });
+        if (shutdown) return;
+      }
       int w, h, d, c;
       FILE* f = fopen(paths[i].c_str(), "rb");
       int rc = -100;
@@ -251,9 +267,10 @@ struct Prefetcher {
   }
 };
 
-void* prefetcher_create(const char** paths, int n, int n_threads) {
+void* prefetcher_create(const char** paths, int n, int n_threads,
+                        int window) {
   std::vector<std::string> p(paths, paths + n);
-  return new Prefetcher(std::move(p), n_threads > 0 ? n_threads : 2);
+  return new Prefetcher(std::move(p), n_threads > 0 ? n_threads : 2, window);
 }
 
 // Blocks until frame i is decoded. Returns status (1 ok, <0 error) and fills
@@ -261,6 +278,13 @@ void* prefetcher_create(const char** paths, int n, int n_threads) {
 int prefetcher_meta(void* handle, int i, int* meta_out) {
   auto* pf = static_cast<Prefetcher*>(handle);
   std::unique_lock<std::mutex> lk(pf->mu);
+  // out-of-order request past the decode-ahead window: slide the window
+  // forward so the worker for frame i can run (ordered consumers never
+  // take this branch; random access trades the memory bound for progress)
+  if (size_t(i) + 1 > pf->consumed + pf->window) {
+    pf->consumed = size_t(i) + 1 - pf->window;
+    pf->cv.notify_all();
+  }
   pf->cv.wait(lk, [&] { return pf->status[i].load() != 0; });
   memcpy(meta_out, &pf->meta[4 * i], 4 * sizeof(int));
   return pf->status[i].load();
@@ -276,6 +300,11 @@ int prefetcher_get(void* handle, int i, void* out, size_t capacity) {
   memcpy(out, pf->decoded[i].data(), pf->decoded[i].size());
   pf->decoded[i].clear();
   pf->decoded[i].shrink_to_fit();
+  if (size_t(i) + 1 > pf->consumed) {
+    pf->consumed = size_t(i) + 1;
+    lk.unlock();
+    pf->cv.notify_all();  // wake workers stalled on the decode-ahead window
+  }
   return 1;
 }
 
