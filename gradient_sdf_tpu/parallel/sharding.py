@@ -181,16 +181,25 @@ def sharded_track_frame(mesh, grid, depth, K, R0, t0, gcfg, fcfg, tcfg):
     return R, t, converged, k
 
 
-def sharded_fuse_frame(mesh, grid, depth, cache, R, t, gcfg, fcfg):
+def sharded_fuse_frame(mesh, grid, depth, cache, R, t, gcfg, fcfg,
+                       *, touched_cap: int = 0):
     """Fusion with samples sharded over (rays x blocks) and the grid's
     per-voxel storage RESIDENT-sharded over the block axis: the returned
     grid keeps block-sharded dist/weight/grad (place the initial grid with
     `shard_grid` and per-device volume memory stays 1/D_b across frames).
 
-    Block allocation runs replicated (deterministic claim insert); each
-    device scatter-adds its sample shard into a transient full-size
-    contribution buffer which psum(rays) + psum_scatter(blocks) reduces to
-    exactly the device's resident shard slice.
+    Block allocation runs replicated (deterministic claim insert). The
+    per-frame contribution collective is COMPACT: the frame's touched-block
+    set (one tiny [num_blocks] psum) is enumerated identically on every
+    device, samples scatter into a [touched_cap, B^3] accumulator, ONE psum
+    over both axes reduces it, and each device merges the rows it owns into
+    its resident shard — collective bytes scale with the frame's touched
+    blocks, not the grid capacity (a VGA frame touches a few hundred
+    blocks; capacity is 2^14). Frames touching more than `touched_cap`
+    blocks fall back to the full-capacity psum+psum_scatter path
+    (lax.cond, identical results). `touched_cap` 0 = auto
+    (min(num_blocks, 4096)); equality vs the single-device path and the
+    fallback are CPU-mesh-tested in tests/test_parallel.py.
     """
     normals_img = fusion_mod.compute_normals(cache, depth)
     s = fusion_mod._sample_frame(depth, normals_img, cache, R, t, gcfg, fcfg)
@@ -212,8 +221,11 @@ def sharded_fuse_frame(mesh, grid, depth, cache, R, t, gcfg, fcfg):
             oob=s.oob,
         )
 
-    nvox = grid.num_blocks * grid.voxels_per_block
+    nb = grid.num_blocks
+    nvox = nb * grid.voxels_per_block
     vpb = gcfg.voxels_per_block
+    cap = int(touched_cap) if touched_cap > 0 else min(nb, 4096)
+    axes = (RAY_AXIS, BLOCK_AXIS)
 
     @functools.partial(
         shard_map,
@@ -222,37 +234,73 @@ def sharded_fuse_frame(mesh, grid, depth, cache, R, t, gcfg, fcfg):
         out_specs=grid_block_specs(),
     )
     def accumulate(grid_shard, keys, local_lin, w, wd, wnx, wny, wnz):
-        # slot lookup against the replicated directory; scatter into a
-        # TRANSIENT full-size accumulator (per-frame contribution), then
-        # psum(rays) + tiled psum_scatter(blocks) hands each device exactly
-        # its resident block shard's contribution slice
         d3 = gcfg.dir_dim**3
         slot = grid_shard.directory[jnp.clip(keys, 0, d3 - 1)]
         slot = jnp.where(keys >= 0, slot, -1)
         ok = slot >= 0
-        lin = jnp.where(ok, slot * vpb + local_lin, nvox)
-        accs = []
-        for vals in (w, wd, wnx, wny, wnz):
-            a = jnp.zeros((nvox,), jnp.float32).at[lin].add(vals, mode="drop")
-            a = jax.lax.psum(a, RAY_AXIS)
-            a = jax.lax.psum_scatter(a, BLOCK_AXIS, tiled=True)
-            accs.append(a.reshape(grid_shard.dist.shape))
-        w_acc, wd_acc, gx_acc, gy_acc, gz_acc = accs
+        nb_local = grid_shard.dist.shape[0]
+        lo = jax.lax.axis_index(BLOCK_AXIS) * nb_local
 
-        # merge into the RESIDENT shard (stays sharded on the block axis)
-        new_weight = grid_shard.weight + w_acc
-        new_dist = jnp.where(
-            new_weight > 0.0,
-            (grid_shard.dist * grid_shard.weight + wd_acc)
-            / jnp.maximum(new_weight, 1e-30),
-            grid_shard.dist,
-        )
-        return grid_shard._replace(
-            dist=new_dist, weight=new_weight,
-            grad_x=grid_shard.grad_x + gx_acc,
-            grad_y=grid_shard.grad_y + gy_acc,
-            grad_z=grid_shard.grad_z + gz_acc,
-        )
+        def merge(w_acc, wd_acc, gx_acc, gy_acc, gz_acc):
+            # merge into the RESIDENT shard (stays sharded on block axis)
+            new_weight = grid_shard.weight + w_acc
+            new_dist = jnp.where(
+                new_weight > 0.0,
+                (grid_shard.dist * grid_shard.weight + wd_acc)
+                / jnp.maximum(new_weight, 1e-30),
+                grid_shard.dist,
+            )
+            return grid_shard._replace(
+                dist=new_dist, weight=new_weight,
+                grad_x=grid_shard.grad_x + gx_acc,
+                grad_y=grid_shard.grad_y + gy_acc,
+                grad_z=grid_shard.grad_z + gz_acc,
+            )
+
+        # the frame's touched-block set, identical on every device (tiny
+        # [nb] int psum = 4*nb bytes, negligible next to the field traffic)
+        touched = jnp.zeros((nb,), jnp.int32).at[
+            jnp.where(ok, slot, nb)].max(1, mode="drop")
+        touched = jax.lax.psum(touched, axes)
+        count = jnp.sum((touched > 0).astype(jnp.int32))
+        (tidx,) = jnp.nonzero(touched > 0, size=cap, fill_value=nb)
+        inv = jnp.full((nb + 1,), -1, jnp.int32).at[tidx].set(
+            jnp.arange(cap, dtype=jnp.int32))
+
+        def compact_path(_):
+            # samples scatter into the compact [cap, B^3] accumulator; one
+            # psum over both axes; each device keeps the rows it owns.
+            # inv[nb] may hold a padded-tidx write, but only non-ok samples
+            # index it and they are masked by `ok`.
+            cslot = inv[jnp.where(ok, slot, nb)]
+            ok_c = ok & (cslot >= 0)
+            lin = jnp.where(ok_c, cslot * vpb + local_lin, cap * vpb)
+            owned = (tidx >= lo) & (tidx < lo + nb_local)
+            dest_row = jnp.where(owned, tidx - lo, nb_local)
+            outs = []
+            for vals in (w, wd, wnx, wny, wnz):
+                a = jnp.zeros((cap * vpb,), jnp.float32).at[lin].add(
+                    vals, mode="drop")
+                a = jax.lax.psum(a, axes)
+                buf = jnp.zeros((nb_local, vpb), jnp.float32).at[
+                    dest_row].add(a.reshape(cap, vpb), mode="drop")
+                outs.append(buf.reshape(grid_shard.dist.shape))
+            return merge(*outs)
+
+        def full_path(_):
+            # fallback: transient full-size accumulator, psum(rays) + tiled
+            # psum_scatter(blocks) hands each device its resident slice
+            lin = jnp.where(ok, slot * vpb + local_lin, nvox)
+            accs = []
+            for vals in (w, wd, wnx, wny, wnz):
+                a = jnp.zeros((nvox,), jnp.float32).at[lin].add(
+                    vals, mode="drop")
+                a = jax.lax.psum(a, RAY_AXIS)
+                a = jax.lax.psum_scatter(a, BLOCK_AXIS, tiled=True)
+                accs.append(a.reshape(grid_shard.dist.shape))
+            return merge(*accs)
+
+        return jax.lax.cond(count <= cap, compact_path, full_path, None)
 
     return accumulate(
         grid, s.keys, s.local_lin, s.w, s.wd, s.wn_x, s.wn_y, s.wn_z

@@ -192,3 +192,64 @@ def test_sharded_render_matches_single_device(scene, block_parallel):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(n_par), np.asarray(n_ref),
                                atol=1e-5)
+
+
+@pytest.mark.parametrize("touched_cap", [256, 1])
+def test_sharded_fusion_touched_compaction(scene, touched_cap):
+    """Compact-collective fusion (touched_cap >= frame's touched blocks)
+    and the cap-overflow fallback (touched_cap=1 forces the full-capacity
+    path) both reproduce the single-device volume."""
+    world, cache, poses = scene
+    mesh = mesh_mod.make_mesh(8, block_parallel=2)
+    ref = vg.create(GCFG)
+    par = sharding.shard_grid(mesh, vg.create(GCFG))
+    for i in range(3):
+        R, t = (jnp.asarray(poses[i][0]), jnp.asarray(poses[i][1]))
+        depth = synth.render_depth(world, R, t, K, W, H)
+        ref = fusion.fuse_frame(ref, depth, cache, R, t, GCFG, FCFG)
+        par = sharding.sharded_fuse_frame(mesh, par, depth, cache, R, t,
+                                          GCFG, FCFG,
+                                          touched_cap=touched_cap)
+    assert int(par.num_active) == int(ref.num_active)
+    if touched_cap == 256:
+        # the compact path must actually be in play (not the fallback)
+        assert int(ref.num_active) <= touched_cap
+    np.testing.assert_allclose(np.asarray(par.weight), np.asarray(ref.weight),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(par.dist), np.asarray(ref.dist),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(par.grad), np.asarray(ref.grad),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_fusion_collective_sized_by_touched_cap(scene):
+    """The per-frame field collective is [touched_cap * B^3]-sized, not
+    capacity-sized: the lowered program's all-reduces on the compact branch
+    carry cap*512 elements (the full-capacity reduce only exists on the
+    fallback branch, selected when a frame touches more than cap blocks)."""
+    world, cache, poses = scene
+    mesh = mesh_mod.make_mesh(8, block_parallel=2)
+    par = sharding.shard_grid(mesh, vg.create(GCFG))
+    R, t = (jnp.asarray(poses[0][0]), jnp.asarray(poses[0][1]))
+    depth = synth.render_depth(world, R, t, K, W, H)
+    cap = 128
+    lowered = jax.jit(
+        lambda g, d: sharding.sharded_fuse_frame(
+            mesh, g, d, cache, R, t, GCFG, FCFG, touched_cap=cap)
+    ).lower(par, depth)
+    hlo = lowered.as_text()
+    compact_elems = cap * GCFG.voxels_per_block
+    nvox = GCFG.num_blocks * GCFG.voxels_per_block
+    # both cond branches lower into the program; the runtime predicate
+    # (touched count <= cap, equality-tested above) picks the compact one.
+    # Structural check: the compact branch's field psums are all_reduces of
+    # tensor<cap*B^3 x f32> — 1/16 the capacity size here — and the only
+    # full-capacity collectives are the fallback branch's.
+    segs = hlo.split("stablehlo.all_reduce")
+    compact_ar = [s for s in segs[1:]
+                  if f"tensor<{compact_elems}xf32>" in s[:600]]
+    assert len(compact_ar) >= 5, (
+        f"expected >=5 compact [{compact_elems}] field all_reduces")
+    full_ar = [s for s in segs[1:] if f"tensor<{nvox}xf32>" in s[:600]]
+    # the fallback's 5 field psum(rays); nothing else may move nvox floats
+    assert len(full_ar) <= 5, f"{len(full_ar)} full-size all_reduces"
