@@ -251,11 +251,6 @@ def run_photoba(args) -> dict:
     poses = [k["pose"] for k in kfs]
     slots = [k["slot"] for k in kfs]
 
-    tumio.write_trajectory(
-        os.path.join(args.results, "selected_frame_poses_before_optimization.txt"),
-        [(k["stamp"], k["pose"][0], k["pose"][1]) for k in kfs],
-    )
-
     gcfg_live = sdf_map.cfg.grid  # may have grown during phase 1
     problem, state = photo_ba.build_problem(
         sdf_map.grid, sdf_map.vis, slots, images, poses, K, gcfg_live
@@ -265,9 +260,13 @@ def run_photoba(args) -> dict:
         from ..parallel import mesh as mesh_mod
 
         mesh = mesh_mod.make_mesh()
+    # the optimizer owns the pose snapshots at the reference's exact points
+    # (before BA + every optimize() exit, PhotometricOptimizer.cpp:614,647,
+    # 653,660) so an aborted BA still leaves the latest poses on disk
     opt = photo_ba.PhotometricOptimizer(
         problem, state, gcfg_live, cfg.photo_ba,
         coupled_poses=args.coupled_poses, mesh=mesh,
+        save_path=args.results, key_stamps=[k["stamp"] for k in kfs],
     )
     T.tic()
     converged = opt.optimize()
@@ -277,10 +276,6 @@ def run_photoba(args) -> dict:
         (np.array(opt.state.R[i]), np.array(opt.state.t[i]))
         for i in range(len(kfs))
     ]
-    tumio.write_trajectory(
-        os.path.join(args.results, "coarse_BA_poses_optimized.txt"),
-        [(k["stamp"], R, t) for k, (R, t) in zip(kfs, opt_poses)],
-    )
     sdf_map.grid = photo_ba.write_back_dist(
         sdf_map.grid, opt.problem, opt.state, gcfg_live
     )

@@ -384,7 +384,8 @@ class PhotometricOptimizer:
 
     def __init__(self, problem: BAProblem, state: BAState, gcfg: GridConfig,
                  pcfg: PhotoBAConfig, *, coupled_poses: bool = False,
-                 verbose: bool = True, mesh=None):
+                 verbose: bool = True, mesh=None, save_path=None,
+                 key_stamps=None):
         self.problem = problem
         self.state = state
         self.gcfg = gcfg
@@ -392,6 +393,10 @@ class PhotometricOptimizer:
         self.energies: list = []
         self.verbose = verbose
         self.mesh = mesh  # device mesh -> voxel-sharded GN steps
+        # pose-snapshot sink (reference savePoses, :592-609): directory +
+        # per-keyframe timestamps; None disables the snapshot writes
+        self.save_path = save_path
+        self.key_stamps = key_stamps
         pose_fn = solve_pose_full if coupled_poses else solve_pose
         self._solve_pose = jax.jit(
             lambda p, s: pose_fn(p, s, gcfg, pcfg)
@@ -414,7 +419,34 @@ class PhotometricOptimizer:
         e_dist = float(self._energy(self.problem, self.state))
         return e_pose, e_dist
 
+    def save_poses(self, filename: str) -> bool:
+        """Snapshot the CURRENT optimizer poses as a TUM trajectory —
+        mirror of `PhotometricOptimizer::savePoses` (:592-609), called at
+        the same points the reference calls it: once before BA (:614) and
+        at every optimize() exit (:647 converge, :653 diverge, :660
+        iteration cap), so a killed/aborted run still leaves the latest
+        pose state on disk."""
+        if self.save_path is None or self.key_stamps is None:
+            return False
+        import os
+
+        import numpy as np
+
+        from ..utils import tumio
+
+        entries = [
+            (stamp, np.asarray(self.state.R[i]), np.asarray(self.state.t[i]))
+            for i, stamp in enumerate(self.key_stamps)
+        ]
+        tumio.write_trajectory(
+            os.path.join(self.save_path, filename + ".txt"), entries)
+        if self.verbose:
+            print("poses file is successfully saved!")
+        return True
+
     def optimize(self) -> bool:
+        # save poses before optimization for comparison (:614)
+        self.save_poses("selected_frame_poses_before_optimization")
         E = float(self._energy(self.problem, self.state))
         self.energies.append(E)
         if self.verbose:
@@ -434,11 +466,14 @@ class PhotometricOptimizer:
             if rel_diff < self.pcfg.conv_threshold:
                 if self.verbose:
                     print(f"converged after {it} iterations")
+                self.save_poses("coarse_BA_poses_optimized")     # :647
                 return True
             if self.energies[-2] < self.energies[-1]:
                 if self.verbose:
                     print(f"DIVERGE after {it} iterations")
+                self.save_poses("coarse_BA_poses_optimized")     # :653
                 return False
+        self.save_poses("coarse_BA_poses_optimized")             # :660
         return False
 
 
