@@ -175,9 +175,35 @@ def main():
         result["track_ms"] = round(track_s * 1e3, 2)
         result["track_converged"] = bool(res0.converged)
         result["track_iters"] = int(res0.num_iters)
-        frame_s = track_s + fuse_s
+
+        # WARM-started dense tracking — the scan3d default since round 4:
+        # GN initialized from the constant-velocity extrapolation
+        # (tracker.extrapolate_pose; start point only, same fixed point).
+        # Same program as cold (the extrapolation runs inside the jit), so
+        # no extra compile; measured separately for honesty vs the
+        # reference's previous-pose init.
+        warm_jit = jax.jit(
+            lambda g, d, R1, t1, R2, t2: tracker.track_frame(
+                g, d, jnp.asarray(K),
+                *tracker.extrapolate_pose(R1, t1, R2, t2),
+                gcfg, fcfg, TrackerConfig(sampling=1)))
+        wargs = []
+        for i in range(2, 6):
+            d, _, _ = frames[i]
+            _, R1, t1 = frames[i - 1]
+            _, R2, t2 = frames[i - 2]
+            wargs.append((grid, d, R1, t1, R2, t2))
+        log("compiling warm-start tracker...")
+        track_w = timeit(warm_jit, wargs, iters=10)
+        resw = warm_jit(*wargs[1])
+        result["track_warm_ms"] = round(track_w * 1e3, 2)
+        result["track_warm_converged"] = bool(resw.converged)
+        result["track_warm_iters"] = int(resw.num_iters)
+
+        frame_s = track_w + fuse_s
         result["value"] = round(1.0 / frame_s, 3)
         result["vs_baseline"] = round(1.0 / frame_s / 30.0, 3)
+        result["cold_fps"] = round(1.0 / (track_s + fuse_s), 3)
         ref_fps, ref_fps_omp = measured_reference_fps()
         result["ref_cpu_fps_measured"] = ref_fps
         result["vs_measured_reference"] = round(1.0 / frame_s / ref_fps, 3)
@@ -195,24 +221,37 @@ def main():
         result["track_error"] = repr(e)[:200]
 
     try:
-        # the REAL app loop: one merged track+fuse program per frame with
-        # per-frame host syncs (scan3d --merged-step / --fast) — ties the
-        # headline to achievable end-to-end throughput
+        # the REAL app loop: EXACTLY what scan3d runs per frame by default —
+        # one merged warm-started track+fuse program, then ONE packed
+        # host fetch of the (converged, overflow, oob) decision scalars
         log("compiling merged step...")
-        merged = jax.jit(
-            lambda g, d, R, t: tracker.track_and_fuse_frame(
+
+        def merged_fn(g, d, R, t, Rpp, tpp):
+            new_g, res = tracker.track_and_fuse_frame(
                 g, d, jnp.asarray(K), R, t, cache, gcfg, fcfg,
-                TrackerConfig(sampling=1)))
-        g2, _ = merged(grid, frames[1][0], *targs[0][2:])
+                TrackerConfig(sampling=1), R_prev2=Rpp, t_prev2=tpp)
+            flags = jnp.stack([
+                res.converged.astype(jnp.int32),
+                new_g.overflow.astype(jnp.int32),
+                (new_g.oob_samples > 0).astype(jnp.int32)])
+            return new_g, res, flags
+
+        merged = jax.jit(merged_fn)
+        g2, _, _ = merged(grid, frames[1][0], frames[0][1], frames[0][2],
+                          frames[0][1], frames[0][2])
         jax.block_until_ready(g2.dist)
 
         def app_loop():
             g = grid
             R, t = frames[0][1], frames[0][2]
+            Rpp, tpp = R, t
             t0 = time.perf_counter()
             for i in range(1, 6):
-                g, res = merged(g, frames[i][0], R, t)
+                g, res, flags = merged(g, frames[i][0], R, t, Rpp, tpp)
+                f = np.asarray(flags)  # the app's one per-frame host sync
+                Rpp, tpp = R, t
                 R, t = res.R, res.t
+                assert f[0] >= 0
             jax.block_until_ready(g.dist)
             return (time.perf_counter() - t0) / 5
 
@@ -292,6 +331,57 @@ def main():
             W * H / rci_s / 1e6, 3)
     except Exception as e:  # pragma: no cover
         result["raycast_error"] = repr(e)[:200]
+
+    elapsed = time.time() - t_start
+    if elapsed > 2700:
+        result["ba_skipped"] = f"time budget ({elapsed:.0f}s elapsed)"
+        print(json.dumps(result))
+        return
+
+    # ---- Phase C: PhotoBA iteration at scale (F=30 keyframes x V=100k
+    # surface voxels, VGA images) — the solver wall-clock VERDICT r3 asked
+    # to put on the record (one alternation = solvePose + energy +
+    # solveDist + energy, exactly PhotometricOptimizer.optimize's loop) ----
+    try:
+        from gradient_sdf_tpu.config import PhotoBAConfig
+        from gradient_sdf_tpu.models import photo_ba
+
+        rng = np.random.RandomState(11)
+        F, V = 30, 100 * 1024
+        vox = rng.randint(-60, 60, size=(V, 3)).astype(np.int32)
+        g = rng.randn(V, 3).astype(np.float32)
+        problem = photo_ba.BAProblem(
+            vox=jnp.asarray(vox),
+            grad=jnp.asarray(g),
+            weight=jnp.asarray(rng.uniform(1, 20, V).astype(np.float32)),
+            vmask=jnp.ones((V,), bool),
+            vis=jnp.asarray(rng.rand(V, F) < 0.4),
+            images=jnp.asarray(
+                rng.rand(F, H, W, 3).astype(np.float32)),
+            K=jnp.asarray(K),
+        )
+        state = photo_ba.BAState(
+            dist=jnp.asarray(
+                rng.uniform(-0.005, 0.005, V).astype(np.float32)),
+            R=jnp.tile(jnp.eye(3, dtype=jnp.float32), (F, 1, 1)),
+            t=jnp.asarray(rng.uniform(-0.1, 0.1, (F, 3)).astype(np.float32)),
+        )
+        pcfg = PhotoBAConfig()
+        gcfg_ba = GridConfig(voxel_size=0.01)
+
+        def ba_iter(p, s):
+            s = photo_ba.solve_pose(p, s, gcfg_ba, pcfg)
+            e1 = photo_ba.energy(p, s, gcfg_ba)
+            s = photo_ba.solve_dist(p, s, gcfg_ba, pcfg)
+            e2 = photo_ba.energy(p, s, gcfg_ba)
+            return s, e1, e2
+
+        log("compiling BA iteration (F=30 x V=100k)...")
+        ba_jit = jax.jit(ba_iter)
+        ba_s = timeit(ba_jit, [(problem, state)], iters=4)
+        result["ba_iteration_ms_f30_v100k"] = round(ba_s * 1e3, 2)
+    except Exception as e:  # pragma: no cover
+        result["ba_error"] = repr(e)[:200]
 
     print(json.dumps(result))
 

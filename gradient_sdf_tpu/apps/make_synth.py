@@ -94,18 +94,20 @@ def write_png8(path, img):
 
 def generate(out: str, frames: int = 90, seed: int = 0, width: int = 640,
              height: int = 480, noise: bool = True, arc_deg: float = None,
-             gray_texture: bool = False):
+             gray_texture: bool = False, loop: bool = False):
     # Kinect intrinsics, scaled when rendering below the native 640x480
     K = synth.KINECT_K.copy()
     K[0] *= width / 640.0
     K[1] *= height / 480.0
     world = synth.random_spheres(seed=seed)
     # default sweep ~4 deg/frame like the reference's 90-pose spiral; pass a
-    # smaller arc for TUM-like per-frame motion at low resolutions
+    # smaller arc for TUM-like per-frame motion at low resolutions.
+    # --loop closes the trajectory (full orbit + sine height ramp) so the
+    # final frames revisit the first frame's view after a long excursion.
     if arc_deg is None:
-        arc_deg = 360.0 * frames / 90.0
+        arc_deg = 360.0 if loop else 360.0 * frames / 90.0
     poses = synth.orbit_poses(n=frames, radius=2.0,
-                              arc=np.deg2rad(arc_deg))
+                              arc=np.deg2rad(arc_deg), closed=loop)
 
     for sub in ("depth", "rgb", "albedo"):
         os.makedirs(os.path.join(out, sub), exist_ok=True)
@@ -152,9 +154,13 @@ def main(argv=None):
                    help="grayscale world-anchored albedo texture (the BA"
                         " convergence-parity fixture: equal RGB channels"
                         " neutralize the reference channel reversal)")
+    p.add_argument("--loop", action="store_true",
+                   help="loop-closing trajectory: full orbit + sine height "
+                        "ramp; the final frames re-enter the first frame's "
+                        "view (drift / revisit-consistency protocol)")
     a = p.parse_args(argv)
     generate(a.out, a.frames, a.seed, a.width, a.height, noise=not a.no_noise,
-             arc_deg=a.arc_deg, gray_texture=a.gray_texture)
+             arc_deg=a.arc_deg, gray_texture=a.gray_texture, loop=a.loop)
 
 
 if __name__ == "__main__":

@@ -122,17 +122,29 @@ def orbit_poses(
     height_range: tuple = (-0.3, 0.3),
     target: np.ndarray | None = None,
     arc: float = 2.0 * np.pi,
+    closed: bool = False,
 ) -> list:
     """Spiral of camera-to-world look-at poses circling the sphere cluster,
     analogous to the reference's `matlab/poses.txt` trajectory (a spiral at
     ~2 m viewing the origin). `arc` bounds the swept angle so short
     sequences keep realistic (small) inter-frame motion.
+
+    `closed=True` makes the trajectory LOOP-CLOSING: with arc=2*pi the
+    azimuth returns to the start and the height follows a sine out-and-back
+    ramp instead of a linear one, so the final frames re-enter the first
+    frame's view — the drift/revisit-consistency protocol (a short arc
+    cannot test what happens when the camera sees early-fused geometry
+    again after a long excursion).
     Returns [(R, t)] as numpy arrays."""
     target = np.zeros(3) if target is None else np.asarray(target)
     poses = []
     for i in range(n):
         ang = arc * i / n
-        h = height_range[0] + (height_range[1] - height_range[0]) * i / max(n - 1, 1)
+        if closed:
+            h = (height_range[0]
+                 + (height_range[1] - height_range[0]) * np.sin(np.pi * i / n))
+        else:
+            h = height_range[0] + (height_range[1] - height_range[0]) * i / max(n - 1, 1)
         eye = target + np.array([radius * np.cos(ang), radius * np.sin(ang), h])
         fwd = target - eye
         fwd = fwd / np.linalg.norm(fwd)

@@ -95,6 +95,13 @@ def main():
                     help="also run the 30-frame Kinect-noise ATE comparison "
                          "(the fr1/desk-style accuracy protocol; ~7 extra "
                          "minutes on this host)")
+    ap.add_argument("--long", dest="long_run", action="store_true",
+                    help="also run the 150-frame LOOP-REVISIT protocol "
+                         "(full VGA orbit that re-enters the start view: "
+                         "accumulated drift + revisit consistency — the "
+                         "axis a short arc cannot test; ~25 extra minutes, "
+                         "our side runs on CPU)")
+    ap.add_argument("--long-frames", type=int, default=150)
     opts = ap.parse_args()
 
     if not os.path.isfile(opts.binary):
@@ -234,11 +241,16 @@ def main():
     else:
         report["ref_cpu_fps_omp"] = None
 
+    # --no-warm-start: this stage gates TRAJECTORY EQUALITY against the
+    # reference, so GN must start from the previous pose exactly like the
+    # binary does (the default constant-velocity warm start converges to
+    # the same fixed point only up to the ||xi|| gate tolerance)
     run_py(
         "import runpy, sys\n"
         f"sys.argv=['scan3d','--input',{data!r},'--results',{our_out_t!r},"
         "'--pose-file','nonexistent.txt','--data-type','synth',"
-        "'--voxel-size','0.02','--trunc','5','--sampling','1']\n"
+        "'--voxel-size','0.02','--trunc','5','--sampling','1',"
+        "'--no-warm-start']\n"
         "runpy.run_module('gradient_sdf_tpu.apps.scan3d',"
         "run_name='__main__')")
 
@@ -493,6 +505,86 @@ def main():
                   and report["noisy_ate_ours"] <= max(
                       1.5 * report["noisy_ate_ref"], 0.01))
 
+    # ---- 5 (opt-in). Long loop-revisiting drift protocol ------------------
+    # 150 VGA frames on a CLOSED orbit (make_synth --loop): the camera
+    # leaves the start view, circles the scene, and re-enters it — models
+    # accumulated drift and fusion-on-revisit consistency, which the
+    # 6-frame golden arc cannot (reference protocol precedent: the 90-pose
+    # matlab spiral, matlab/poses.txt; real-data analog README.md:50,67).
+    long_ok = None
+    if opts.long_run:
+        from scipy.spatial import cKDTree
+
+        from gradient_sdf_tpu.utils import ate as ate_mod, tumio
+
+        ldata = os.path.join(opts.work, "data_loop")
+        if not os.path.isfile(os.path.join(ldata, "gt_poses.txt")):
+            run_py(
+                "import runpy, sys\n"
+                f"sys.argv=['make_synth','--out',{ldata!r},'--frames',"
+                f"'{opts.long_frames}','--seed','2','--width','640',"
+                "'--height','480','--no-noise','--loop']\n"
+                "runpy.run_module('gradient_sdf_tpu.apps.make_synth',"
+                "run_name='__main__')")
+        ref_l = os.path.join(opts.work, "ref_loop") + "/"
+        our_l = os.path.join(opts.work, "ours_loop")
+        os.makedirs(ref_l, exist_ok=True)
+        run([opts.binary, "--input", ldata + "/", "--results", ref_l,
+             "--pose-file", "nonexistent.txt", "--data-type", "synth",
+             "--scan-type", "grad-sdf", "--voxel-size", "0.02",
+             "--trunc", "5"])
+        run_py(
+            "import runpy, sys\n"
+            f"sys.argv=['scan3d','--input',{ldata!r},'--results',{our_l!r},"
+            "'--pose-file','nonexistent.txt','--data-type','synth',"
+            "'--voxel-size','0.02','--trunc','5',"
+            "'--eval-gt','gt_poses.txt',"
+            f"'--metrics-json','{our_l}/m.json']\n"
+            "runpy.run_module('gradient_sdf_tpu.apps.scan3d',"
+            "run_name='__main__')")
+
+        gt = tumio.read_trajectory(os.path.join(ldata, "gt_poses.txt"))
+        gt_pairs = [(ts, np.asarray(t)) for ts, _, t in gt]
+
+        def ate_of(path, tail=None):
+            est = tumio.read_trajectory(path)
+            if tail:
+                est = est[-tail:]
+            r = ate_mod.evaluate_ate([(ts, t) for ts, _, t in est], gt_pairs)
+            return float(r.rmse) if r is not None else None
+
+        report["loop_ate_ref"] = ate_of(os.path.join(ref_l, "_poses.txt"))
+        report["loop_ate_ours"] = ate_of(os.path.join(our_l, "_poses.txt"))
+        # revisit drift: pose error over the final 10 frames (back at the
+        # start view after the full excursion)
+        report["loop_tail_ate_ref"] = ate_of(
+            os.path.join(ref_l, "_poses.txt"), tail=10)
+        report["loop_tail_ate_ours"] = ate_of(
+            os.path.join(our_l, "_poses.txt"), tail=10)
+        m = json.load(open(os.path.join(our_l, "m.json")))
+        report["loop_invalid_frames_ours"] = len(m.get("invalid_frames", []))
+
+        # revisit-consistency of the fused geometry: both final meshes
+        # describe the same world; nearest-neighbor medians/p99 must agree
+        # to voxel scale despite each side's own accumulated drift
+        mv_r = verts(os.path.join(ref_l, "gradient_sdf_mesh_final.ply"))
+        mv_o = verts(os.path.join(our_l, "gradient_sdf_mesh_final.ply"))
+        d_or_ = cKDTree(mv_r).query(mv_o, workers=-1)[0]
+        d_ro_ = cKDTree(mv_o).query(mv_r, workers=-1)[0]
+        report["loop_mesh_ours2ref_median"] = float(np.median(d_or_))
+        report["loop_mesh_ours2ref_p99"] = float(np.quantile(d_or_, 0.99))
+        report["loop_mesh_ref2ours_p99"] = float(np.quantile(d_ro_, 0.99))
+        long_ok = (
+            report["loop_ate_ours"] is not None
+            and report["loop_ate_ours"] <= max(
+                1.5 * (report["loop_ate_ref"] or 0.0), 0.01)
+            and report["loop_tail_ate_ours"] <= max(
+                1.5 * (report["loop_tail_ate_ref"] or 0.0), 0.015)
+            and report["loop_mesh_ours2ref_median"] <= 0.5 * 0.02
+            and report["loop_mesh_ours2ref_p99"] <= 1.5 * 0.02
+            and report["loop_mesh_ref2ours_p99"] <= 1.5 * 0.02
+        )
+
     print(json.dumps(report, indent=2))
     # persist the measurement so bench.py reads the ACTUAL measured
     # reference fps for vs_measured_reference instead of a hardcoded copy
@@ -520,7 +612,8 @@ def main():
           and mesh_ok
           and kf_ok is not False
           and ba_conv_ok is not False
-          and ate_ok is not False)
+          and ate_ok is not False
+          and long_ok is not False)
     print("PARITY " + ("OK" if ok else "FAIL"))
     return 0 if ok else 1
 

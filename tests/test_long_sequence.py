@@ -86,3 +86,19 @@ def test_noisy_long_sequence_ate():
     assert res is not None and res.num_pairs == N_FRAMES
     # drift bound: ~1.5 voxels RMSE over a 60-frame noisy third-orbit
     assert res.rmse < 0.03, f"ATE regression: {res.rmse:.4f} m"
+
+
+def test_closed_orbit_revisits_start_view():
+    """orbit_poses(closed=True, arc=2*pi) ends one step short of the start
+    pose: the final frames re-enter the first frame's view (the loop-revisit
+    protocol's defining property)."""
+    n = 150
+    poses = synth.orbit_poses(n=n, radius=2.0, arc=2.0 * np.pi, closed=True)
+    R0, t0 = poses[0]
+    Rl, tl = poses[-1]
+    # one frame of azimuth (2*pi/n) from closure
+    assert np.linalg.norm(tl - t0) < 2.0 * (2 * np.pi / n) * 1.5
+    assert np.abs(Rl - R0).max() < 0.1
+    # the excursion genuinely leaves the start view (antipode is far)
+    Rm, tm = poses[n // 2]
+    assert np.linalg.norm(tm - t0) > 2.0  # diameter-scale separation
