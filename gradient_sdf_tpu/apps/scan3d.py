@@ -216,12 +216,13 @@ def run_scan(args) -> dict:
             # --fast also relaxes the convergence gate to 2e-3: the
             # reference's 1e-3 (RigidOptimizer.h:72) is tuned for dense
             # VGA residual counts and sits ON the stride-3 GN noise floor.
-            # Measured on a 10-frame VGA run: 4/10 frames flagged
-            # non-converged (skipped from fusion) at 1e-3 vs 2/10 at 2e-3
-            # with ATE 1.4-1.5 mm either way; the remaining flakes are
-            # genuine GN oscillation at the strided floor (3e-3 does not
-            # recover them). Non-parity like the rest of the preset;
-            # explicit --sampling keeps the reference 1e-3.
+            # Measured on 10-frame noisy VGA runs (round 4): at 1e-3,
+            # 2-3/9 frames flag non-converged whether GN starts from the
+            # previous pose or the constant-velocity warm start — the
+            # floor is genuine strided-GN oscillation, not a start-point
+            # problem. At 2e-3 WITH the (default) warm start: 0/9 skipped
+            # and 3-6 GN iterations/frame. Non-parity like the rest of the
+            # preset; explicit --sampling keeps the reference 1e-3.
             conv = (2e-3 if (fast_ok and not args.sampling)
                     else cfg.tracker.conv_threshold)
             cfg = dataclasses.replace(
