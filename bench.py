@@ -241,23 +241,36 @@ def main():
                           frames[0][1], frames[0][2])
         jax.block_until_ready(g2.dist)
 
-        def app_loop():
+        def app_loop(lagged):
+            # lagged=True is the scan3d default: frame i's flags RPC
+            # resolves after frame i+1 is dispatched, overlapping its
+            # device compute; lagged=False is --sync-growth-checks
+            # (reference-exact growth timing, one blocking RPC per frame)
             g = grid
             R, t = frames[0][1], frames[0][2]
             Rpp, tpp = R, t
+            pending = None
             t0 = time.perf_counter()
             for i in range(1, 6):
                 g, res, flags = merged(g, frames[i][0], R, t, Rpp, tpp)
-                f = np.asarray(flags)  # the app's one per-frame host sync
+                if lagged:
+                    if pending is not None:
+                        assert np.asarray(pending)[0] >= 0
+                    pending = flags
+                else:
+                    assert np.asarray(flags)[0] >= 0
                 Rpp, tpp = R, t
                 R, t = res.R, res.t
-                assert f[0] >= 0
+            if pending is not None:
+                np.asarray(pending)
             jax.block_until_ready(g.dist)
             return (time.perf_counter() - t0) / 5
 
-        app_s = min(app_loop() for _ in range(3))
+        app_s = min(app_loop(True) for _ in range(3))
         result["app_loop_ms_per_frame"] = round(app_s * 1e3, 2)
         result["app_loop_fps"] = round(1.0 / app_s, 3)
+        app_sync = min(app_loop(False) for _ in range(3))
+        result["app_loop_sync_fps"] = round(1.0 / app_sync, 3)
     except Exception as e:  # pragma: no cover
         result["app_loop_error"] = repr(e)[:200]
 

@@ -87,6 +87,20 @@ def build_parser():
                    help="resume reconstruction from a state checkpoint")
     p.add_argument("--profile", default=None,
                    help="write a jax.profiler trace of one frame to this dir")
+    p.add_argument("--sync-growth-checks", dest="lagged_flags",
+                   action="store_false",
+                   help="resolve each frame's convergence/growth flags "
+                        "BEFORE dispatching the next frame (reference-exact "
+                        "growth timing). Default is lagged-by-one-frame "
+                        "resolution in --merged-step/--fast mode: the "
+                        "flags' device->host RPC (~26-44 ms on the remote "
+                        "TPU, PERF_NOTES.md) then overlaps the next "
+                        "frame's device compute. Only consequence: a "
+                        "capacity/directory growth triggered by frame i "
+                        "takes effect at frame i+2 instead of i+1 — one "
+                        "frame of bounded out-of-capacity sample loss when "
+                        "growth fires (rare); tracking/fusion math is "
+                        "unchanged")
     p.add_argument("--no-warm-start", dest="warm_start", action="store_false",
                    help="disable the constant-velocity tracking warm start "
                         "(GN then initializes from the previous pose exactly "
@@ -154,6 +168,23 @@ def run_scan(args) -> dict:
     warm = getattr(args, "warm_start", True)
     invalid_frames = []
     merged_jit = {"key": None, "fn": None}  # --merged-step program cache
+    lagged = getattr(args, "lagged_flags", True)
+    pending_flags = None  # (frame_idx, device flags) awaiting resolution
+
+    def resolve_flags(idx, flags):
+        """Act on a frame's (converged, overflow, oob) decision scalars —
+        ONE packed device->host transfer for the three host decisions."""
+        conv_f, overflow_f, oob_f = (int(x) for x in np.asarray(flags))
+        if conv_f:
+            sdf_map.counter += 1
+            if overflow_f:
+                sdf_map._grow()
+                merged_jit["key"] = None
+            if oob_f:
+                sdf_map._grow_directory()
+                merged_jit["key"] = None
+        else:
+            invalid_frames.append(idx)
     last = None if args.last < 0 else args.last + 1
 
     first = args.first
@@ -291,21 +322,19 @@ def run_scan(args) -> dict:
                 merged_jit["key"] = key
             new_grid, res, flags = merged_jit["fn"](
                 sdf_map.grid, depth, R_cur, t_cur, R_pp, t_pp)
-            conv_f, overflow_f, oob_f = (int(x) for x in np.asarray(flags))
-            conv = bool(conv_f)
             R_pp, t_pp = R_cur, t_cur
             R_cur, t_cur = res.R, res.t
             sdf_map.grid = new_grid
-            if conv:
-                sdf_map.counter += 1
-                if overflow_f:
-                    sdf_map._grow()
-                    merged_jit["key"] = None
-                if oob_f:
-                    sdf_map._grow_directory()
-                    merged_jit["key"] = None
+            if lagged:
+                # resolve the PREVIOUS frame's flags now — this frame's
+                # program is already dispatched, so the RPC overlaps its
+                # device compute (flags of this frame resolve next frame /
+                # at drain)
+                if pending_flags is not None:
+                    resolve_flags(*pending_flags)
+                pending_flags = (i, flags)
             else:
-                invalid_frames.append(i)
+                resolve_flags(i, flags)
             T.toc("Track+fuse (merged)")
         else:
             T.tic()
@@ -346,6 +375,9 @@ def run_scan(args) -> dict:
                 counter=sdf_map.counter, poses=pose_entries,
                 grid_cfg=sdf_map.cfg.grid,
             )
+
+    if pending_flags is not None:  # drain the last frame's lagged flags
+        resolve_flags(*pending_flags)
 
     tumio.write_trajectory(pose_path, pose_entries)
 
