@@ -122,6 +122,7 @@ def run_photoba(args) -> dict:
     sdf_map = GradSdfMap(cfg, with_vis=True)
     os.makedirs(args.results, exist_ok=True)
 
+    last = None if args.last < 0 else args.last + 1
     gt_poses = None
     if getattr(args, "pose_file", None):
         loaded = loader.load_poses(args.pose_file)
@@ -152,7 +153,6 @@ def run_photoba(args) -> dict:
     invalid_frames = []
     suppressed_keyframes = 0  # keyframe-worthy frames past the slot cap
     dist_to_last_kf = 0
-    last = None if args.last < 0 else args.last + 1
 
     for frame in loader.frames(args.first, last):
         i = frame.index

@@ -262,7 +262,7 @@ def raycast(
     max_steps: int = 128,
     bisect_steps: int = 2,
     burst_steps: int = 12,
-    compact_divisors: tuple = (8, 64),
+    compact_divisors: tuple = (8,),
     refine: bool = True,
 ) -> RaycastResult:
     """Trace N rays; returns first zero crossing along each.
@@ -273,7 +273,13 @@ def raycast(
     (window-skipped rays never occupy march lanes; cap 3N/8); surviving rays then
     continue in compacted buffers of N/divisor rays per entry of
     `compact_divisors`. Any round that would overflow its capacity falls
-    back to full width rather than dropping rays."""
+    back to full width rather than dropping rays.
+
+    Schedule default: a single N/8 straggler round. The round-2/3 (8, 64)
+    two-round schedule was re-measured in round 4 (one v5e, from-scratch
+    VGA): the N/64 round's re-compaction overhead exceeds what it saves —
+    122.0 ms (8, 64) vs 115.8 ms (8,) with bit-identical depth images;
+    (6, 48) was 131.5 ms, burst 16 changed bracket choices on tail rays."""
     n = origins.shape[0]
     if s_lo is None:
         s0 = jnp.full((n,), s_min, jnp.float32)
