@@ -159,11 +159,15 @@ def main():
         _, Rp, tp = frames[i - 1]
         targs.append((grid, d, Rp, tp))
 
+    # GN-buffer cap sized to the scene like scan3d does at its first frame
+    cap = tracker.adaptive_compact_cap(np.asarray(frames[1][0]), fcfg)
+    result["track_compact_cap"] = cap
+
     def track_cfg(s):
         return jax.jit(
             lambda g, d, R, t: tracker.track_frame(
                 g, d, jnp.asarray(K), R, t, gcfg, fcfg,
-                TrackerConfig(sampling=s)
+                TrackerConfig(sampling=s, compact_cap_frac=cap)
             )
         )
 
@@ -186,7 +190,8 @@ def main():
             lambda g, d, R1, t1, R2, t2: tracker.track_frame(
                 g, d, jnp.asarray(K),
                 *tracker.extrapolate_pose(R1, t1, R2, t2),
-                gcfg, fcfg, TrackerConfig(sampling=1)))
+                gcfg, fcfg,
+                TrackerConfig(sampling=1, compact_cap_frac=cap)))
         wargs = []
         for i in range(2, 6):
             d, _, _ = frames[i]
@@ -229,7 +234,8 @@ def main():
         def merged_fn(g, d, R, t, Rpp, tpp):
             new_g, res = tracker.track_and_fuse_frame(
                 g, d, jnp.asarray(K), R, t, cache, gcfg, fcfg,
-                TrackerConfig(sampling=1), R_prev2=Rpp, t_prev2=tpp)
+                TrackerConfig(sampling=1, compact_cap_frac=cap),
+                R_prev2=Rpp, t_prev2=tpp)
             flags = jnp.stack([
                 res.converged.astype(jnp.int32),
                 new_g.overflow.astype(jnp.int32),

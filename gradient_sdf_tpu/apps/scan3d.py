@@ -256,9 +256,14 @@ def run_scan(args) -> dict:
             # preset; explicit --sampling keeps the reference 1e-3.
             conv = (2e-3 if (fast_ok and not args.sampling)
                     else cfg.tracker.conv_threshold)
+            # GN-buffer cap sized to the scene's depth-valid fraction
+            # (tracker.adaptive_compact_cap; exact semantics — denser
+            # frames fall back to the full-width loop)
+            cap = tracker_mod.adaptive_compact_cap(frame.depth, cfg.fusion)
             cfg = dataclasses.replace(
                 cfg, tracker=dataclasses.replace(
-                    cfg.tracker, sampling=s, conv_threshold=conv)
+                    cfg.tracker, sampling=s, conv_threshold=conv,
+                    compact_cap_frac=cap)
             )
             if fast_fusion and frame.depth.shape[1] >= 640:
                 new_f = dataclasses.replace(sdf_map.cfg.fusion,

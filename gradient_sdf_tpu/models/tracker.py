@@ -27,6 +27,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import FusionConfig, GridConfig, TrackerConfig
 from ..ops import query
@@ -104,6 +105,31 @@ def _residual_pass(grid, points_cam, z_valid, R, t, gcfg, fcfg, mode="grad",
     g = jnp.sum(phi[..., None] * J, axis=0)
     H = jnp.einsum("ni,nj->ij", J, J, precision=jax.lax.Precision.HIGHEST)
     return E, g, H, jnp.sum(valid.astype(jnp.int32))
+
+
+def adaptive_compact_cap(depth, fcfg, *, slack: float = 1.3,
+                         floor: float = 0.125,
+                         ceil_frac: float = 0.5) -> float:
+    """Pick `TrackerConfig.compact_cap_frac` from a frame's depth-valid
+    fraction (host-side, numpy).
+
+    The compacted GN buffer is STATIC, so every iteration's random-HBM
+    traffic scales with the CAP, not the frame's actual valid count
+    (PERF_NOTES.md round 4: cap 0.5 -> 0.25 on the 16%-valid golden scene
+    = 14.4 -> 10.2 ms warm dense tracking on one v5e). `slack`*fraction,
+    rounded UP to a 1/8 grid so caps are stable across frames; frames
+    that exceed the cap anyway fall back to the full-width loop (exact
+    semantics either way). Scenes denser than `ceil_frac` return 0.0
+    (compaction disabled — the fallback would fire every frame and the
+    per-frame nonzero pass is pure overhead there)."""
+    import math
+
+    d = np.asarray(depth)
+    frac = float(np.mean((d > fcfg.z_min) & (d < fcfg.z_max)))
+    target = frac * slack
+    if target > ceil_frac:
+        return 0.0
+    return max(floor, math.ceil(target * 8.0) / 8.0)
 
 
 def extrapolate_pose(R1, t1, R2, t2):

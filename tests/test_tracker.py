@@ -305,3 +305,20 @@ def test_track_and_fuse_warm_start_plumbing(setup):
     np.testing.assert_array_equal(np.asarray(res_b.t), np.asarray(res_a.t))
     np.testing.assert_array_equal(np.asarray(vg.flat_field(g_b.dist)),
                                   np.asarray(vg.flat_field(g_a.dist)))
+
+
+def test_adaptive_compact_cap():
+    """Cap follows the depth-valid fraction on a 1/8 grid with slack;
+    dense scenes disable compaction (full-width fallback would always
+    fire); exact-semantics guarantee is the existing compaction test."""
+    d = np.zeros((100, 100), np.float32)
+    d[:20] = 1.0  # 20% valid
+    cap = tracker.adaptive_compact_cap(d, FCFG)
+    assert cap == 0.375  # ceil(0.2 * 1.3 * 8)/8
+    assert tracker.adaptive_compact_cap(np.zeros((10, 10), np.float32),
+                                        FCFG) == 0.125
+    dense = np.full((10, 10), 1.0, np.float32)
+    assert tracker.adaptive_compact_cap(dense, FCFG) == 0.0
+    # out-of-range depth (beyond z_max) is not "valid"
+    far = np.full((10, 10), 99.0, np.float32)
+    assert tracker.adaptive_compact_cap(far, FCFG) == 0.125
