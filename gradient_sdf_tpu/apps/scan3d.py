@@ -101,13 +101,22 @@ def build_parser():
                         "frame of bounded out-of-capacity sample loss when "
                         "growth fires (rare); tracking/fusion math is "
                         "unchanged")
-    p.add_argument("--no-warm-start", dest="warm_start", action="store_false",
-                   help="disable the constant-velocity tracking warm start "
-                        "(GN then initializes from the previous pose exactly "
-                        "like the reference, main_scan_3d.cpp:256-266). The "
-                        "warm start changes only GN's start point, never its "
-                        "fixed point; on smooth motion it cuts dense "
-                        "tracking from ~5 iterations to 1-2")
+    p.add_argument("--warm-start", dest="warm_alpha", nargs="?",
+                   const=0.5, type=float, default=None,
+                   help="constant-velocity tracking warm start: GN starts "
+                        "from T_prev * exp(ALPHA * log(delta_prev)) instead "
+                        "of the previous pose (the reference init, "
+                        "main_scan_3d.cpp:256-266). Bare flag = damped "
+                        "ALPHA 0.5 — full extrapolation (1.0) AMPLIFIES "
+                        "accumulated drift through the fusion feedback "
+                        "loop and diverged on the 150-frame loop protocol "
+                        "(PERF_NOTES.md round 4); measured iteration "
+                        "savings on smooth protocols are small because "
+                        "tracking cost is dominated by per-frame fixed "
+                        "work. Default: off (reference init)")
+    p.add_argument("--no-warm-start", dest="no_warm", action="store_true",
+                   help="force the warm start off (overrides --fast's "
+                        "damped default)")
     p.add_argument("--merged-step", dest="merged_step", action="store_true",
                    help="run tracking + conditionally-gated fusion as ONE "
                         "jitted program per frame (lax.cond on convergence; "
@@ -165,7 +174,11 @@ def run_scan(args) -> dict:
     # pose one frame older than (R_cur, t_cur) — feeds the constant-velocity
     # warm start; equal to the current pose until two frames are tracked
     R_pp, t_pp = R_cur, t_cur
-    warm = getattr(args, "warm_start", True)
+    if getattr(args, "no_warm", False):
+        warm_alpha = 0.0
+    else:
+        warm_alpha = float(getattr(args, "warm_alpha", None) or 0.0)
+    warm = warm_alpha > 0.0
     invalid_frames = []
     merged_jit = {"key": None, "fn": None}  # --merged-step program cache
     lagged = getattr(args, "lagged_flags", True)
@@ -249,11 +262,11 @@ def run_scan(args) -> dict:
             # VGA residual counts and sits ON the stride-3 GN noise floor.
             # Measured on 10-frame noisy VGA runs (round 4): at 1e-3,
             # 2-3/9 frames flag non-converged whether GN starts from the
-            # previous pose or the constant-velocity warm start — the
-            # floor is genuine strided-GN oscillation, not a start-point
-            # problem. At 2e-3 WITH the (default) warm start: 0/9 skipped
-            # and 3-6 GN iterations/frame. Non-parity like the rest of the
-            # preset; explicit --sampling keeps the reference 1e-3.
+            # previous pose or a constant-velocity warm start — the floor
+            # is genuine strided-GN oscillation, not a start-point
+            # problem; at 2e-3 the rate is 0-1/9 (again init-independent).
+            # Non-parity like the rest of the preset; explicit --sampling
+            # keeps the reference 1e-3.
             conv = (2e-3 if (fast_ok and not args.sampling)
                     else cfg.tracker.conv_threshold)
             # GN-buffer cap sized to the scene's depth-valid fraction
@@ -303,7 +316,7 @@ def run_scan(args) -> dict:
             sdf_map.ensure_cache(np.asarray(K), depth.shape[1],
                                  depth.shape[0])
             key = (sdf_map.cfg.grid, sdf_map.cfg.fusion, cfg.tracker,
-                   track_mode, warm)
+                   track_mode, warm_alpha)
             if merged_jit.get("key") != key:
                 gcfg_l, fcfg_l = sdf_map.cfg.grid, sdf_map.cfg.fusion
                 cache_l, tcfg_l, mode_l = sdf_map.cache, cfg.tracker, track_mode
@@ -313,7 +326,8 @@ def run_scan(args) -> dict:
                     new_g, res = tracker_mod.track_and_fuse_frame(
                         g, d, jnp.asarray(K), R, t, _c, _g, _f, _t, mode=_m,
                         R_prev2=(Rpp if warm else None),
-                        t_prev2=(tpp if warm else None))
+                        t_prev2=(tpp if warm else None),
+                        warm_alpha=warm_alpha)
                     # the three per-frame host decisions ride ONE transfer
                     # (each scalar fetch is its own ~26 ms RPC on the
                     # remote-TPU setup, PERF_NOTES.md)
@@ -347,7 +361,8 @@ def run_scan(args) -> dict:
             # growth between frames changes them (stale configs index the
             # enlarged directory with the wrong linearization)
             R_init, t_init = ((tracker_mod.extrapolate_pose(
-                R_cur, t_cur, R_pp, t_pp)) if warm else (R_cur, t_cur))
+                R_cur, t_cur, R_pp, t_pp, warm_alpha))
+                if warm else (R_cur, t_cur))
             res = tracker_mod.track_frame(
                 sdf_map.grid, depth, jnp.asarray(K), R_init, t_init,
                 sdf_map.cfg.grid, sdf_map.cfg.fusion, cfg.tracker,

@@ -132,20 +132,29 @@ def adaptive_compact_cap(depth, fcfg, *, slack: float = 1.3,
     return max(floor, math.ceil(target * 8.0) / 8.0)
 
 
-def extrapolate_pose(R1, t1, R2, t2):
+def extrapolate_pose(R1, t1, R2, t2, alpha: float = 1.0):
     """Constant-velocity warm start: predict the next camera-to-world pose
-    from the two most recent ones, T_pred = T1 * (T2^{-1} * T1) (the
-    body-frame per-frame delta is assumed constant).
+    from the two most recent ones, T_pred = T1 * exp(alpha * log(T2^{-1} *
+    T1)) — alpha=1 is the full body-frame constant-velocity model, alpha in
+    (0, 1) a geodesically damped one, alpha=0 the previous pose (the
+    reference's init, `main_scan_3d.cpp:256-266`).
 
-    This changes only GN's START POINT, never its fixed point: the reference
-    initializes from the previous pose (`main_scan_3d.cpp:256-266` reuses
-    `pose`), and with a near-exact warm start the very first ||xi|| falls
-    under the convergence gate (`RigidOptimizer.h:70-74` checks BEFORE
-    applying), cutting dense tracking from ~5 iterations to 1-2 on smooth
-    trajectories. Called with R2=R1, t2=t1 (no history) it is the identity.
+    STABILITY (measured, PERF_NOTES.md round 4): frame-to-model SDF
+    tracking closes a feedback loop through fusion — the extrapolation
+    seeds the next frame with (1+alpha) x the previous pose error, and on
+    marginal protocols (per-frame motion near the truncation distance at
+    coarse voxels) alpha=1 AMPLIFIED accumulated drift into divergence on
+    the 150-frame loop protocol while the previous-pose init tracked it
+    fine; alpha=0.5 matched the previous-pose init's error curve with
+    fewer GN iterations. Warm starting is therefore OPT-IN (scan3d
+    --warm-start, auto-enabled damped in --fast where it removes the
+    stride-3 skip flakes), never the parity default.
     """
     R2i, t2i = se3.se3_inv(R2, t2)
     Rd, td = se3.se3_mul(R2i, t2i, R1, t1)
+    if alpha != 1.0:
+        xi = se3.se3_log(Rd, td) * alpha
+        Rd, td = se3.se3_exp(xi)
     return se3.se3_mul(R1, t1, Rd, td)
 
 
@@ -246,15 +255,17 @@ def track_frame(
 
 
 def track_and_fuse_frame(grid, depth, K, R0, t0, cache, gcfg, fcfg, tcfg,
-                         mode: str = "grad", R_prev2=None, t_prev2=None):
+                         mode: str = "grad", R_prev2=None, t_prev2=None,
+                         warm_alpha: float = 1.0):
     """ONE jitted program for a full Scan3D frame: GN tracking followed by
     `lax.cond`-gated fusion of the refined pose (non-converged frames are
     not fused — main_scan_3d.cpp:258-266 semantics preserved exactly).
 
     With (R_prev2, t_prev2) — the pose BEFORE (R0, t0) — tracking starts
     from the constant-velocity extrapolation `extrapolate_pose(R0, t0,
-    R_prev2, t_prev2)` instead of (R0, t0); computed inside the program so
-    the warm start costs no extra dispatch.
+    R_prev2, t_prev2, warm_alpha)` instead of (R0, t0); computed inside
+    the program so the warm start costs no extra dispatch (see
+    extrapolate_pose's stability note for why alpha<1 is the app default).
 
     Rationale: the app's python-level `if res.converged:` between the two
     programs forces a device->host sync mid-frame — on the remote-TPU
@@ -269,7 +280,7 @@ def track_and_fuse_frame(grid, depth, K, R0, t0, cache, gcfg, fcfg, tcfg,
     from ..ops import fusion
 
     if R_prev2 is not None:
-        R0, t0 = extrapolate_pose(R0, t0, R_prev2, t_prev2)
+        R0, t0 = extrapolate_pose(R0, t0, R_prev2, t_prev2, warm_alpha)
     res = track_frame(grid, depth, K, R0, t0, gcfg, fcfg, tcfg, mode=mode)
     grid = jax.lax.cond(
         res.converged,

@@ -758,16 +758,33 @@ def render_depth_normal(
         off = prior_stride // 2
         d_c = d_img[off::prior_stride, off::prior_stride].reshape(-1, 3)
         o_c = o_img[off::prior_stride, off::prior_stride].reshape(-1, 3)
+        # EXACT block-raster windows bound BOTH passes (round 4): the
+        # coarse pass previously marched its ~75% background rays over the
+        # full [s_min, s_max] range just to conclude "miss" — tiles no
+        # active block covers are provably empty of observed crossings, so
+        # those rays now die instantly, and covered rays march only the
+        # covering blocks' ray-parameter hull (~1-2 ms of tiny scatters;
+        # measured impact in PERF_NOTES.md round 4).
+        rw_lo, rw_hi = block_raster_windows(grid, K, R, t, width, height,
+                                            gcfg)
+        rw_lo_i = rw_lo.reshape(height, width)
+        rw_hi_i = rw_hi.reshape(height, width)
+        rw_lo_c = rw_lo_i[off::prior_stride, off::prior_stride].reshape(-1)
+        rw_hi_c = rw_hi_i[off::prior_stride, off::prior_stride].reshape(-1)
         res_c = raycast(grid, o_c, d_c, gcfg, fcfg,
-                        s_min=s_min, s_max=s_max, refine=False, **kw)
+                        s_min=s_min, s_max=s_max,
+                        s_lo=rw_lo_c, s_hi=rw_hi_c, refine=False, **kw)
         sc = res_c.depth.reshape(hc, wc)
         mc = res_c.hit.reshape(hc, wc)
         mn, mx, anyhit = _neighborhood_minmax(sc, mc)
         if prior_miss_skip:
-            # all-miss neighborhood -> empty window (ray never marches)
-            lo_c = jnp.where(anyhit, jnp.maximum(mn - margin, s_min), s_max)
-            hi_c = jnp.where(anyhit, jnp.minimum(mx + margin, s_max),
-                             s_min - 1.0)
+            # all-miss neighborhood -> fall back to the pixel's OWN raster
+            # window (empty for uncovered tiles -> instant miss; the hull
+            # for covered ones). This upgrades the round-2/3 all-miss
+            # HEURISTIC to exact conservative coverage: sub-coarse-pixel
+            # geometry inside a covered tile is marched, not dropped.
+            lo_c = jnp.maximum(mn - margin, s_min)
+            hi_c = jnp.minimum(mx + margin, s_max)
         else:
             lo_c = jnp.where(anyhit, jnp.maximum(mn - margin, s_min), s_min)
             hi_c = jnp.where(anyhit, jnp.minimum(mx + margin, s_max), s_max)
@@ -775,6 +792,12 @@ def render_depth_normal(
         s_hi = jnp.repeat(jnp.repeat(hi_c, prior_stride, 0), prior_stride, 1)
         s_lo = s_lo.reshape(-1)
         s_hi = s_hi.reshape(-1)
+        if prior_miss_skip:
+            anyhit_full = jnp.repeat(
+                jnp.repeat(anyhit, prior_stride, 0), prior_stride, 1
+            ).reshape(-1)
+            s_lo = jnp.where(anyhit_full, s_lo, rw_lo)
+            s_hi = jnp.where(anyhit_full, s_hi, rw_hi)
 
     res = raycast(grid, origins, dirs, gcfg, fcfg,
                   s_min=s_min, s_max=s_max, s_lo=s_lo, s_hi=s_hi, **kw)

@@ -243,8 +243,8 @@ def main():
 
     # --no-warm-start: this stage gates TRAJECTORY EQUALITY against the
     # reference, so GN must start from the previous pose exactly like the
-    # binary does (the default constant-velocity warm start converges to
-    # the same fixed point only up to the ||xi|| gate tolerance)
+    # binary does (warm starting is off by default anyway; the flag pins
+    # it against future default changes)
     run_py(
         "import runpy, sys\n"
         f"sys.argv=['scan3d','--input',{data!r},'--results',{our_out_t!r},"
