@@ -778,13 +778,17 @@ def render_depth_normal(
         mc = res_c.hit.reshape(hc, wc)
         mn, mx, anyhit = _neighborhood_minmax(sc, mc)
         if prior_miss_skip:
-            # all-miss neighborhood -> fall back to the pixel's OWN raster
-            # window (empty for uncovered tiles -> instant miss; the hull
-            # for covered ones). This upgrades the round-2/3 all-miss
-            # HEURISTIC to exact conservative coverage: sub-coarse-pixel
-            # geometry inside a covered tile is marched, not dropped.
-            lo_c = jnp.maximum(mn - margin, s_min)
-            hi_c = jnp.minimum(mx + margin, s_max)
+            # all-miss neighborhood -> empty window (ray never marches).
+            # Replacing this heuristic with the pixel's raster hull window
+            # was MEASURED WORSE AND less consistent (round 4, one v5e:
+            # 116 -> 188 ms — hull windows have no occlusion, so
+            # silhouette-adjacent rays march the whole front-to-back gap
+            # and dominate the straggler rounds; bracket artifacts up to
+            # 0.56 m appeared where hulls start behind the first sheet).
+            # prior_mode="raster" remains the exact-coverage option.
+            lo_c = jnp.where(anyhit, jnp.maximum(mn - margin, s_min), s_max)
+            hi_c = jnp.where(anyhit, jnp.minimum(mx + margin, s_max),
+                             s_min - 1.0)
         else:
             lo_c = jnp.where(anyhit, jnp.maximum(mn - margin, s_min), s_min)
             hi_c = jnp.where(anyhit, jnp.minimum(mx + margin, s_max), s_max)
@@ -792,12 +796,6 @@ def render_depth_normal(
         s_hi = jnp.repeat(jnp.repeat(hi_c, prior_stride, 0), prior_stride, 1)
         s_lo = s_lo.reshape(-1)
         s_hi = s_hi.reshape(-1)
-        if prior_miss_skip:
-            anyhit_full = jnp.repeat(
-                jnp.repeat(anyhit, prior_stride, 0), prior_stride, 1
-            ).reshape(-1)
-            s_lo = jnp.where(anyhit_full, s_lo, rw_lo)
-            s_hi = jnp.where(anyhit_full, s_hi, rw_hi)
 
     res = raycast(grid, origins, dirs, gcfg, fcfg,
                   s_min=s_min, s_max=s_max, s_lo=s_lo, s_hi=s_hi, **kw)
