@@ -115,8 +115,9 @@ def build_parser():
                         "tracking cost is dominated by per-frame fixed "
                         "work. Default: off (reference init)")
     p.add_argument("--no-warm-start", dest="no_warm", action="store_true",
-                   help="force the warm start off (overrides --fast's "
-                        "damped default)")
+                   help="force the warm start off (overrides an explicit "
+                        "--warm-start; no preset enables warm starting "
+                        "implicitly)")
     p.add_argument("--merged-step", dest="merged_step", action="store_true",
                    help="run tracking + conditionally-gated fusion as ONE "
                         "jitted program per frame (lax.cond on convergence; "

@@ -147,8 +147,9 @@ def extrapolate_pose(R1, t1, R2, t2, alpha: float = 1.0):
     the 150-frame loop protocol while the previous-pose init tracked it
     fine; alpha=0.5 matched the previous-pose init's error curve with
     fewer GN iterations. Warm starting is therefore OPT-IN (scan3d
-    --warm-start, auto-enabled damped in --fast where it removes the
-    stride-3 skip flakes), never the parity default.
+    --warm-start, damped 0.5 when enabled bare) and never a parity or
+    preset default — at --fast's stride 3 the skip-flake rate proved
+    init-independent, so the preset gains nothing from it either.
     """
     R2i, t2i = se3.se3_inv(R2, t2)
     Rd, td = se3.se3_mul(R2i, t2i, R1, t1)

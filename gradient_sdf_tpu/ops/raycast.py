@@ -262,7 +262,7 @@ def raycast(
     max_steps: int = 128,
     bisect_steps: int = 2,
     burst_steps: int = 12,
-    compact_divisors: tuple = (8,),
+    compact_divisors: tuple = (64,),
     refine: bool = True,
 ) -> RaycastResult:
     """Trace N rays; returns first zero crossing along each.
@@ -271,15 +271,21 @@ def raycast(
     prior); they default to the scalar [s_min, s_max]. The burst of
     `burst_steps` runs pre-compacted to N/2 when per-ray windows exist
     (window-skipped rays never occupy march lanes; cap 3N/8); surviving rays then
-    continue in compacted buffers of N/divisor rays per entry of
-    `compact_divisors`. Any round that would overflow its capacity falls
-    back to full width rather than dropping rays.
+    continue in compacted buffers of at most N/divisor rays per entry of
+    `compact_divisors` — each round actually runs at the TIGHTEST fitting
+    capacity on a {N/divisor, N/8, full-width} ladder (lax.switch), so an
+    overflowing round degrades by one ladder rung rather than dropping
+    rays or jumping straight to a full-width march.
 
-    Schedule default: a single N/8 straggler round. The round-2/3 (8, 64)
-    two-round schedule was re-measured in round 4 (one v5e, from-scratch
-    VGA): the N/64 round's re-compaction overhead exceeds what it saves —
-    122.0 ms (8, 64) vs 115.8 ms (8,) with bit-identical depth images;
-    (6, 48) was 131.5 ms, burst 16 changed bracket choices on tail rays."""
+    Schedule default: a single straggler round at divisor 64. Round-4
+    capacity sweep (one v5e, from-scratch VGA, ALL bit-identical depth
+    images): N/8 114 ms, N/16 108, N/20 106, N/32-N/64 102-103 ms
+    (plateau) — the round's cost is its fixed lane width, and this
+    scene's post-burst survivors fit N/64. The old (8, 64) TWO-round
+    schedule was worse than either (122 ms): a second round pays its own
+    re-compaction; one narrow round with a ladder escape does not.
+    (6, 48) was 131.5 ms; burst 16 changed bracket choices on tail rays,
+    burst 12 stays the default."""
     n = origins.shape[0]
     if s_lo is None:
         s0 = jnp.full((n,), s_min, jnp.float32)
@@ -324,44 +330,69 @@ def raycast(
         if div <= 1:
             state = _march(march, dir2, rays, state, steps, gcfg, fcfg)
             continue
-        cap = max(1, int(n / div))
+        # CAPACITY LADDER (round 4): the round runs at the TIGHTEST
+        # fitting capacity among {n/div, n/8} via lax.switch — per-step
+        # cost is the buffer's FIXED lane width, not the live-ray count
+        # (the while_loop early-exits in steps, not lanes), so narrow
+        # survivor sets should march in narrow buffers. Measured sweep
+        # (one v5e, from-scratch VGA, bit-identical depth images):
+        # n/8 114 ms, n/16 108, n/20 106, n/32-n/64 102-103 (plateau) —
+        # the ladder takes the n/64 win when survivors allow and degrades
+        # to n/8 (the former fixed default) instead of a full-width march
+        # when they don't; full width remains the final escape.
+        ladder = sorted({max(1, int(n / d)) for d in (div, 8.0) if d > 1})
+        ladder = [c for c in ladder if c < n] or [max(1, int(n / div))]
         alive = ~state.found & (state.s <= rays.s_end)
         count = jnp.sum(alive.astype(jnp.int32))
-        (idx,) = jnp.nonzero(alive, size=cap, fill_value=0)
-        mask = jnp.arange(cap, dtype=jnp.int32) < count
+        cap_max = ladder[-1]
+        # one nonzero pass at the widest capacity; narrower branches take
+        # the prefix (nonzero's indices are ascending, so the first
+        # `count` entries are exactly the alive set whenever count <= cap)
+        (idx_full,) = jnp.nonzero(alive, size=cap_max, fill_value=0)
 
-        def compacted(state, idx=idx, mask=mask, steps=steps, cap=cap):
-            sub = _MarchState(
-                s=state.s[idx], s_prev=state.s_prev[idx],
-                lo=state.lo[idx], hi=state.hi[idx],
-                # padded entries are marked found so they don't march
-                found=state.found[idx] | ~mask,
-                v_lo=state.v_lo[idx], v_hi=state.v_hi[idx],
-                v_lo_ok=state.v_lo_ok[idx],
-                v_prev=state.v_prev[idx], v_prev_ok=state.v_prev_ok[idx],
-            )
-            out = _march(march, dir2, _gather_rays(rays, idx), sub, steps,
-                         gcfg, fcfg)
-            tgt = jnp.where(mask, idx, n)  # drop padding writes
+        def make_compacted(cap, steps=steps):
+            def compacted(state):
+                idx = idx_full[:cap]
+                mask = jnp.arange(cap, dtype=jnp.int32) < count
+                sub = _MarchState(
+                    s=state.s[idx], s_prev=state.s_prev[idx],
+                    lo=state.lo[idx], hi=state.hi[idx],
+                    # padded entries are marked found so they don't march
+                    found=state.found[idx] | ~mask,
+                    v_lo=state.v_lo[idx], v_hi=state.v_hi[idx],
+                    v_lo_ok=state.v_lo_ok[idx],
+                    v_prev=state.v_prev[idx], v_prev_ok=state.v_prev_ok[idx],
+                )
+                out = _march(march, dir2, _gather_rays(rays, idx), sub,
+                             steps, gcfg, fcfg)
+                tgt = jnp.where(mask, idx, n)  # drop padding writes
 
-            def put(full, new):
-                return full.at[tgt].set(new, mode="drop")
+                def put(full, new):
+                    return full.at[tgt].set(new, mode="drop")
 
-            return _MarchState(
-                s=put(state.s, out.s), s_prev=put(state.s_prev, out.s_prev),
-                lo=put(state.lo, out.lo), hi=put(state.hi, out.hi),
-                found=put(state.found, out.found & mask),
-                v_lo=put(state.v_lo, out.v_lo),
-                v_hi=put(state.v_hi, out.v_hi),
-                v_lo_ok=put(state.v_lo_ok, out.v_lo_ok & mask),
-                v_prev=put(state.v_prev, out.v_prev),
-                v_prev_ok=put(state.v_prev_ok, out.v_prev_ok & mask),
-            )
+                return _MarchState(
+                    s=put(state.s, out.s),
+                    s_prev=put(state.s_prev, out.s_prev),
+                    lo=put(state.lo, out.lo), hi=put(state.hi, out.hi),
+                    found=put(state.found, out.found & mask),
+                    v_lo=put(state.v_lo, out.v_lo),
+                    v_hi=put(state.v_hi, out.v_hi),
+                    v_lo_ok=put(state.v_lo_ok, out.v_lo_ok & mask),
+                    v_prev=put(state.v_prev, out.v_prev),
+                    v_prev_ok=put(state.v_prev_ok, out.v_prev_ok & mask),
+                )
+
+            return compacted
 
         def full_width(state, steps=steps):
             return _march(march, dir2, rays, state, steps, gcfg, fcfg)
 
-        state = jax.lax.cond(count <= cap, compacted, full_width, state)
+        branches = [make_compacted(c) for c in ladder] + [full_width]
+        # smallest ladder index whose capacity fits the survivor count;
+        # len(ladder) = the full-width escape
+        bucket = jnp.searchsorted(
+            jnp.asarray(ladder, dtype=jnp.int32), count, side="left")
+        state = jax.lax.switch(bucket, branches, state)
 
     found = state.found
 
@@ -758,13 +789,18 @@ def render_depth_normal(
         off = prior_stride // 2
         d_c = d_img[off::prior_stride, off::prior_stride].reshape(-1, 3)
         o_c = o_img[off::prior_stride, off::prior_stride].reshape(-1, 3)
-        # EXACT block-raster windows bound BOTH passes (round 4): the
+        # EXACT block-raster windows bound the COARSE pass (round 4): the
         # coarse pass previously marched its ~75% background rays over the
         # full [s_min, s_max] range just to conclude "miss" — tiles no
         # active block covers are provably empty of observed crossings, so
         # those rays now die instantly, and covered rays march only the
-        # covering blocks' ray-parameter hull (~1-2 ms of tiny scatters;
-        # measured impact in PERF_NOTES.md round 4).
+        # covering blocks' ray-parameter hull (~1-2 ms of tiny scatters).
+        # Note the asymmetry with the full-res pass: using the same hull
+        # windows there was measured WORSE (PERF_NOTES.md round 3/4 raster
+        # sections — no occlusion in a hull, so full-res silhouette rays
+        # march the whole front-to-back gap), but the coarse pass keeps its
+        # own hit-window output, so here the hull only replaces "no bound
+        # at all" and cannot lose coverage the stride prior had.
         rw_lo, rw_hi = block_raster_windows(grid, K, R, t, width, height,
                                             gcfg)
         rw_lo_i = rw_lo.reshape(height, width)
