@@ -270,3 +270,29 @@ def test_raster_prior_matches_full_march(fused):
     hi = np.asarray(s_hi)[hit_flat]
     sv = ray_s[hit_flat]
     assert (sv >= lo - 1e-4).all() and (sv <= hi + 1e-4).all()
+
+
+def test_straggler_capacity_ladder_rungs_identical(fused):
+    """The straggler round's capacity ladder (tightest fitting cap among
+    {n/div, n/8, full} via lax.switch) is a pure buffer-size choice: every
+    rung must march the same rays to the same brackets. Force different
+    bucket selections with divisors spanning tight-to-loose and compare
+    bit-exactly against the uncompacted march."""
+    world, poses, grid = fused
+    R, t = poses[4]
+    o, d, _ = raycast.camera_rays(jnp.asarray(K), jnp.asarray(R),
+                                  jnp.asarray(t), W, H)
+    kw = dict(s_min=0.3, s_max=2.5)
+    base = raycast.raycast(grid, o, d, GCFG, FCFG,
+                           compact_divisors=(), **kw)
+    # div 4096 -> cap 1 ray: the survivor count certainly overflows the
+    # tight rung, exercising the n/8 (and possibly full-width) escape;
+    # div 2 -> cap n/2: the widest compacted rung fits trivially
+    for divs in ((64,), (8,), (2,), (4096,), (16, 256)):
+        res = raycast.raycast(grid, o, d, GCFG, FCFG,
+                              compact_divisors=divs, **kw)
+        np.testing.assert_array_equal(np.asarray(res.hit),
+                                      np.asarray(base.hit), err_msg=str(divs))
+        np.testing.assert_array_equal(np.asarray(res.depth),
+                                      np.asarray(base.depth),
+                                      err_msg=str(divs))
