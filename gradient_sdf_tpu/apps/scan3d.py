@@ -390,6 +390,14 @@ def run_scan(args) -> dict:
         if args.checkpoint_every and (sdf_map.counter % args.checkpoint_every == 0):
             from ..utils import checkpoint as ckpt
 
+            # drain a pending lagged flag resolution first: the checkpoint
+            # must capture a fully-resolved state (counter / growth /
+            # invalid_frames), or a resume would silently drop this
+            # frame's decisions. Costs one RPC, and save_state already
+            # syncs the whole grid to host anyway.
+            if pending_flags is not None:
+                resolve_flags(*pending_flags)
+                pending_flags = None
             ckpt.save_state(
                 ckpt_path, sdf_map.grid,
                 vis=getattr(sdf_map, "vis", None),

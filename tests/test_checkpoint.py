@@ -106,3 +106,41 @@ def test_grown_grid_config_roundtrip(tmp_path):
     assert gc2.dir_dim == 32 and gc2.num_blocks == 128
     import math
     assert math.isnan(gc2.voxel_size)
+
+
+def test_scan3d_merged_lagged_checkpoint_resume(tmp_path):
+    """Checkpoint/resume under --merged-step with DEFAULT lagged flag
+    resolution: a checkpoint written while a frame's packed
+    (converged/overflow/oob) flags are still in flight must first drain
+    them (scan3d drains before save_state), so the resumed run reproduces
+    the straight run's trajectory and frame bookkeeping exactly."""
+    data = str(tmp_path / "data")
+    make_synth.generate(data, frames=4, seed=1, width=96, height=72,
+                        noise=False, arc_deg=5.0)
+    base = ["--input", data, "--pose-file", "nonexistent.txt",
+            "--data-type", "synth", "--voxel-size", "0.02", "--trunc", "5",
+            "--merged-step"]
+
+    out_a = str(tmp_path / "a")
+    m_a = scan3d.run_scan(scan3d.build_parser().parse_args(
+        base + ["--results", out_a]))
+
+    out_b = str(tmp_path / "b")
+    scan3d.run_scan(scan3d.build_parser().parse_args(
+        base + ["--results", out_b, "--last", "1", "--checkpoint-every", "1"]))
+    m_b = scan3d.run_scan(scan3d.build_parser().parse_args(
+        base + ["--results", out_b,
+                "--resume", os.path.join(out_b, "checkpoint.npz")]))
+    assert m_b["frames"] == 2  # only the remaining frames processed
+    assert m_b["invalid_frames"] == [
+        i for i in m_a["invalid_frames"] if i >= 2]
+
+    from gradient_sdf_tpu.utils import tumio
+
+    ta = tumio.read_trajectory(os.path.join(out_a, "_poses.txt"))
+    tb = tumio.read_trajectory(os.path.join(out_b, "_poses.txt"))
+    assert len(ta) == len(tb) == 4
+    for (sa, Ra, taa), (sb, Rb, tbb) in zip(ta, tb):
+        assert sa == sb
+        np.testing.assert_allclose(Ra, Rb, atol=1e-6)
+        np.testing.assert_allclose(taa, tbb, atol=1e-6)
