@@ -387,23 +387,33 @@ def run_scan(args) -> dict:
         if profiled and n_frames == 3:
             jax.profiler.stop_trace()
 
-        if args.checkpoint_every and (sdf_map.counter % args.checkpoint_every == 0):
-            from ..utils import checkpoint as ckpt
-
-            # drain a pending lagged flag resolution first: the checkpoint
-            # must capture a fully-resolved state (counter / growth /
-            # invalid_frames), or a resume would silently drop this
-            # frame's decisions. Costs one RPC, and save_state already
-            # syncs the whole grid to host anyway.
-            if pending_flags is not None:
+        if args.checkpoint_every:
+            k = args.checkpoint_every
+            # the cadence gate must see the counter a --sync-growth-checks
+            # run would see at this frame, but under lagged flags this
+            # frame's convergence (a possible +1) is still in flight. Drain
+            # only when the gate COULD fire either way — the pending frame
+            # converging (counter+1) or not (counter) — so frames that
+            # cannot hit the cadence keep the lagged-RPC overlap.
+            might_fire = (sdf_map.counter % k == 0) or (
+                pending_flags is not None and (sdf_map.counter + 1) % k == 0
+            )
+            if might_fire and pending_flags is not None:
+                # the checkpoint must capture a fully-resolved state
+                # (counter / growth / invalid_frames), or a resume would
+                # silently drop this frame's decisions. Costs one RPC, and
+                # save_state already syncs the whole grid to host anyway.
                 resolve_flags(*pending_flags)
                 pending_flags = None
-            ckpt.save_state(
-                ckpt_path, sdf_map.grid,
-                vis=getattr(sdf_map, "vis", None),
-                counter=sdf_map.counter, poses=pose_entries,
-                grid_cfg=sdf_map.cfg.grid,
-            )
+            if might_fire and sdf_map.counter % k == 0:
+                from ..utils import checkpoint as ckpt
+
+                ckpt.save_state(
+                    ckpt_path, sdf_map.grid,
+                    vis=getattr(sdf_map, "vis", None),
+                    counter=sdf_map.counter, poses=pose_entries,
+                    grid_cfg=sdf_map.cfg.grid,
+                )
 
     if pending_flags is not None:  # drain the last frame's lagged flags
         resolve_flags(*pending_flags)

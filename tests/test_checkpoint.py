@@ -108,6 +108,41 @@ def test_grown_grid_config_roundtrip(tmp_path):
     assert math.isnan(gc2.voxel_size)
 
 
+def test_lagged_checkpoint_cadence_matches_sync(tmp_path, monkeypatch):
+    """With --checkpoint-every K>1 under lagged flags, checkpoints must fire
+    at the same frames (same fused counters) as a --sync-growth-checks run:
+    the cadence gate accounts for the pending frame's in-flight counter
+    increment (ADVICE r4) instead of reading the stale counter."""
+    data = str(tmp_path / "data")
+    # 160x120 so at least one tracked frame converges (the 1e-3 gate sits
+    # at the GN noise floor below that); convergence is deterministic on CPU
+    make_synth.generate(data, frames=5, seed=2, width=160, height=120,
+                        noise=False, arc_deg=2.0)
+    base = ["--input", data, "--pose-file", "nonexistent.txt",
+            "--data-type", "synth", "--voxel-size", "0.02", "--trunc", "5",
+            "--merged-step", "--checkpoint-every", "2"]
+
+    saved = {}
+    real = ckpt.save_state
+
+    def record(tag):
+        def wrapper(path, grid, **kw):
+            saved.setdefault(tag, []).append(kw.get("counter"))
+            return real(path, grid, **kw)
+
+        return wrapper
+
+    monkeypatch.setattr(ckpt, "save_state", record("lagged"))
+    scan3d.run_scan(scan3d.build_parser().parse_args(
+        base + ["--results", str(tmp_path / "lag")]))
+    monkeypatch.setattr(ckpt, "save_state", record("sync"))
+    scan3d.run_scan(scan3d.build_parser().parse_args(
+        base + ["--results", str(tmp_path / "sync"), "--sync-growth-checks"]))
+
+    assert saved["lagged"], "no checkpoints fired"
+    assert saved["lagged"] == saved["sync"]
+
+
 def test_scan3d_merged_lagged_checkpoint_resume(tmp_path):
     """Checkpoint/resume under --merged-step with DEFAULT lagged flag
     resolution: a checkpoint written while a frame's packed
