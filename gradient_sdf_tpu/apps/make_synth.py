@@ -78,6 +78,38 @@ def render_color(world, R, t, K, width, height, gray_texture: bool = False):
     return img
 
 
+def render_color_boxes(world, R, t, K, width, height,
+                       gray_texture: bool = False):
+    """Albedo render for the box world: flat per-box colors (cycled sphere
+    palette) or the same grayscale world-anchored pattern render_color
+    uses (the BA fixture works identically on boxes)."""
+    from ..utils import se3
+
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    depth = synth.render_depth_boxes(world, R, t, K, width, height)
+    hit = depth > 0.0
+    u = (jnp.arange(width, dtype=jnp.float32) - cx) / fx
+    v = (jnp.arange(height, dtype=jnp.float32) - cy) / fy
+    cu, cv = jnp.meshgrid(u, v)
+    pw = se3.se3_apply(
+        R, t, jnp.stack([depth * cu, depth * cv, depth], axis=-1))
+    if gray_texture:
+        g = (0.55
+             + 0.15 * jnp.sin(31.0 * pw[..., 0])
+             + 0.15 * jnp.sin(29.0 * pw[..., 1])
+             + 0.15 * jnp.sin(27.0 * pw[..., 2]))
+        return jnp.where(hit, g, 0.0)[..., None] * jnp.ones((3,), jnp.float32)
+    # surface points' nearest box IS the hit box
+    d = pw[..., None, :] - world.centers
+    q = jnp.abs(d) - world.half_extents
+    sdf_b = (jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1)
+             + jnp.minimum(jnp.max(q, axis=-1), 0.0))
+    bidx = jnp.argmin(sdf_b, axis=-1)
+    colors = jnp.asarray(
+        SPHERE_COLORS[np.arange(world.centers.shape[0]) % len(SPHERE_COLORS)])
+    return jnp.where(hit[..., None], colors[bidx], 0.0)
+
+
 def write_png16(path, depth_m):
     from PIL import Image
 
@@ -94,31 +126,65 @@ def write_png8(path, img):
 
 def generate(out: str, frames: int = 90, seed: int = 0, width: int = 640,
              height: int = 480, noise: bool = True, arc_deg: float = None,
-             gray_texture: bool = False, loop: bool = False):
+             gray_texture: bool = False, loop: bool = False,
+             world_kind: str = "spheres"):
     # Kinect intrinsics, scaled when rendering below the native 640x480
     K = synth.KINECT_K.copy()
     K[0] *= width / 640.0
     K[1] *= height / 480.0
-    world = synth.random_spheres(seed=seed)
     # default sweep ~4 deg/frame like the reference's 90-pose spiral; pass a
     # smaller arc for TUM-like per-frame motion at low resolutions.
     # --loop closes the trajectory (full orbit + sine height ramp) so the
     # final frames revisit the first frame's view after a long excursion.
     if arc_deg is None:
         arc_deg = 360.0 if loop else 360.0 * frames / 90.0
-    poses = synth.orbit_poses(n=frames, radius=2.0,
-                              arc=np.deg2rad(arc_deg), closed=loop)
 
     for sub in ("depth", "rgb", "albedo"):
         os.makedirs(os.path.join(out, sub), exist_ok=True)
     np.savetxt(os.path.join(out, "intrinsics.txt"), K, fmt="%.6f")
-    np.savetxt(
-        os.path.join(out, "spheres.txt"),
-        np.concatenate([np.asarray(world.centers),
-                        np.asarray(world.radii)[:, None]], axis=1),
-        fmt="%.6f",
-        header="cx cy cz r",
-    )
+
+    if world_kind == "box":
+        world = synth.default_boxes(seed=seed)
+        # the box scene sits on a floor slab (top at z=-0.4): orbit lower
+        # and from above so faces, creases, AND box-over-floor occlusion
+        # edges are all in view
+        poses = synth.orbit_poses(
+            n=frames, radius=1.8, height_range=(0.35, 0.6),
+            target=np.array([0.0, 0.0, -0.25]),
+            arc=np.deg2rad(arc_deg), closed=loop)
+        np.savetxt(
+            os.path.join(out, "boxes.txt"),
+            np.concatenate([np.asarray(world.centers),
+                            np.asarray(world.half_extents)], axis=1),
+            fmt="%.6f",
+            header="cx cy cz hx hy hz",
+        )
+
+        def depth_fn(R, t):
+            return synth.render_depth_boxes(world, R, t, K, width, height)
+
+        def color_fn(R, t):
+            return render_color_boxes(world, R, t, K, width, height,
+                                      gray_texture=gray_texture)
+    else:
+        world = synth.random_spheres(seed=seed)
+        poses = synth.orbit_poses(n=frames, radius=2.0,
+                                  arc=np.deg2rad(arc_deg), closed=loop)
+        np.savetxt(
+            os.path.join(out, "spheres.txt"),
+            np.concatenate([np.asarray(world.centers),
+                            np.asarray(world.radii)[:, None]], axis=1),
+            fmt="%.6f",
+            header="cx cy cz r",
+        )
+
+        def depth_fn(R, t):
+            return synth.render_depth(world, R, t, K, width, height)
+
+        def color_fn(R, t):
+            return render_color(world, R, t, K, width, height,
+                                gray_texture=gray_texture)
+
     tumio.write_trajectory(
         os.path.join(out, "gt_poses.txt"),
         [(f"{i + 1:03d}", R, t) for i, (R, t) in enumerate(poses)],
@@ -126,13 +192,11 @@ def generate(out: str, frames: int = 90, seed: int = 0, width: int = 640,
 
     key = jax.random.PRNGKey(seed)
     for i, (R, t) in enumerate(poses):
-        depth = synth.render_depth(world, jnp.asarray(R), jnp.asarray(t), K,
-                                   width, height)
+        depth = depth_fn(jnp.asarray(R), jnp.asarray(t))
         if noise:
             key, sub = jax.random.split(key)
             depth = synth.add_kinect_noise(depth, sub)
-        color = render_color(world, jnp.asarray(R), jnp.asarray(t), K,
-                             width, height, gray_texture=gray_texture)
+        color = color_fn(jnp.asarray(R), jnp.asarray(t))
         name = f"{i + 1:03d}.png"
         write_png16(os.path.join(out, "depth", name), depth)
         write_png8(os.path.join(out, "rgb", name), color)
@@ -158,9 +222,15 @@ def main(argv=None):
                    help="loop-closing trajectory: full orbit + sine height "
                         "ramp; the final frames re-enter the first frame's "
                         "view (drift / revisit-consistency protocol)")
+    p.add_argument("--world", choices=["spheres", "box"], default="spheres",
+                   help="analytic world: smooth convex spheres (default, "
+                        "the MATLAB protocol) or a box scene with planar "
+                        "faces, creases, and occlusion edges (the indoor-"
+                        "scene feature set; data/synth.BoxWorld)")
     a = p.parse_args(argv)
     generate(a.out, a.frames, a.seed, a.width, a.height, noise=not a.no_noise,
-             arc_deg=a.arc_deg, gray_texture=a.gray_texture, loop=a.loop)
+             arc_deg=a.arc_deg, gray_texture=a.gray_texture, loop=a.loop,
+             world_kind=a.world)
 
 
 if __name__ == "__main__":

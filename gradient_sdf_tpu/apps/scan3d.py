@@ -118,6 +118,20 @@ def build_parser():
                    help="force the warm start off (overrides an explicit "
                         "--warm-start; no preset enables warm starting "
                         "implicitly)")
+    p.add_argument("--devices", type=int, default=0,
+                   help="run the reconstruction multi-device on an N-device "
+                        "(rays x blocks) jax.sharding.Mesh: tracking "
+                        "residuals shard over rays, the volume's per-voxel "
+                        "storage resident-shards over blocks (1/D_b memory "
+                        "per device), collectives ride ICI "
+                        "(parallel/sharding.py). grad-sdf only. 0/1 = "
+                        "single-device. Validate on CPU with "
+                        "XLA_FLAGS=--xla_force_host_platform_device_count=N")
+    p.add_argument("--block-parallel", dest="block_parallel", type=int,
+                   default=0,
+                   help="devices on the block (grid-storage) axis; must "
+                        "divide --devices. 0 = auto (2 when --devices is "
+                        "even, else 1); the rest go to the ray axis")
     p.add_argument("--merged-step", dest="merged_step", action="store_true",
                    help="run tracking + conditionally-gated fusion as ONE "
                         "jitted program per frame (lax.cond on convergence; "
@@ -127,6 +141,50 @@ def build_parser():
                         "(PERF_NOTES.md); on local devices the gain is "
                         "sub-ms, hence opt-in.")
     return p
+
+
+def make_merged_step(sdf_map, K, tcfg, track_mode: str, warm_alpha: float):
+    """Build THE per-frame merged program: GN tracking + lax.cond-gated
+    fusion + packed decision flags, as one jitted fn — single- or
+    multi-device depending on whether `sdf_map` has a mesh attached
+    (`GradSdfMap.attach_mesh`). Shared by the app loop and
+    `__graft_entry__.dryrun_multichip`, so the driver's multi-chip dry run
+    exercises the REAL app step, not a hand-rolled copy.
+
+    The three per-frame host decisions (converged / capacity overflow /
+    out-of-range samples) ride ONE packed transfer — each scalar fetch is
+    its own ~26 ms RPC on the remote-TPU setup (PERF_NOTES.md).
+    """
+    gcfg_l, fcfg_l = sdf_map.cfg.grid, sdf_map.cfg.fusion
+    cache_l = sdf_map.cache
+    mesh = getattr(sdf_map, "mesh", None)
+    warm = warm_alpha > 0.0
+    K_j = jnp.asarray(K, jnp.float32)
+
+    def merged_fn(g, d, R, t, Rpp, tpp):
+        if mesh is not None:
+            from ..parallel import sharding
+
+            g, R_n, t_n, conv, iters = sharding.sharded_track_and_fuse_frame(
+                mesh, g, d, K_j, R, t, cache_l, gcfg_l, fcfg_l, tcfg,
+                R_prev2=(Rpp if warm else None),
+                t_prev2=(tpp if warm else None), warm_alpha=warm_alpha)
+            res = tracker_mod.TrackResult(
+                R=R_n, t=t_n, converged=conv, num_iters=iters,
+                energy=jnp.float32(0.0), num_valid=jnp.int32(0))
+        else:
+            g, res = tracker_mod.track_and_fuse_frame(
+                g, d, K_j, R, t, cache_l, gcfg_l, fcfg_l, tcfg,
+                mode=track_mode,
+                R_prev2=(Rpp if warm else None),
+                t_prev2=(tpp if warm else None), warm_alpha=warm_alpha)
+        flags = jnp.stack([
+            res.converged.astype(jnp.int32),
+            g.overflow.astype(jnp.int32),
+            (g.oob_samples > 0).astype(jnp.int32)])
+        return g, res, flags
+
+    return jax.jit(merged_fn)
 
 
 def run_scan(args) -> dict:
@@ -239,13 +297,55 @@ def run_scan(args) -> dict:
         first = args.first + (len(state["poses"]) or resume_counter)
         print(f"Resumed at frame {first} ({resume_counter} frames integrated)")
 
+    mesh = None
+    if getattr(args, "devices", 0) and args.devices > 1:
+        # multi-device: attach AFTER a possible resume so the restored grid
+        # is the one that gets resident-sharded
+        if args.scan_type != "grad-sdf":
+            raise SystemExit("--devices requires --scan-type grad-sdf "
+                             "(sharded tracking is the gradient path)")
+        from ..parallel import mesh as mesh_mod
+
+        bp = getattr(args, "block_parallel", 0) or (
+            2 if args.devices % 2 == 0 else 1)
+        mesh = mesh_mod.make_mesh(args.devices, block_parallel=bp)
+        sdf_map.attach_mesh(mesh)
+        print(f"Mesh: {args.devices} devices "
+              f"({args.devices // bp} rays x {bp} blocks)")
+    track_jit = {"key": None, "fn": None}  # sharded split-path program cache
+
     ckpt_path = os.path.join(args.results, "checkpoint.npz")
 
     n_frames = 0
     profiled = False
     sampling_set = False
-    for frame in loader.frames(first, last):
+
+    def drain_poses():
+        """Materialize device-array poses in pose_entries to host numpy in
+        TWO batched transfers. A per-frame np.asarray(pose) sat on the
+        frame loop's critical path (~26 ms device->host RPC per frame on
+        the remote-TPU setup, PERF_NOTES.md); poses are only NEEDED on host
+        at drain points — checkpoint writes and teardown — so they stay as
+        device arrays until then, exactly like the lagged decision flags."""
+        idxs = [j for j, (_, Rj, _) in enumerate(pose_entries)
+                if not isinstance(Rj, np.ndarray)]
+        if not idxs:
+            return
+        Rs = np.asarray(jnp.stack([pose_entries[j][1] for j in idxs]))
+        ts = np.asarray(jnp.stack([pose_entries[j][2] for j in idxs]))
+        for k_, j in enumerate(idxs):
+            pose_entries[j] = (pose_entries[j][0], Rs[k_], ts[k_])
+
+    frame_iter = iter(loader.frames(first, last))
+    nxt = next(frame_iter, None)
+    # depth uploads are issued one frame AHEAD: frame i+1's host->device
+    # transfer is dispatched right after frame i's compute so it overlaps
+    # the device work (the native prefetcher already decoded the bytes)
+    nxt_depth = jnp.asarray(nxt.depth) if nxt is not None else None
+    while nxt is not None:
+        frame, depth = nxt, nxt_depth
         i = frame.index
+        this_flags = None  # this frame's packed decision flags (merged mode)
         if not sampling_set:
             # DENSE tracking by default (sampling=1) — the reference's
             # optimize() default (RigidPointOptimizer.h:68-71) and, since
@@ -291,10 +391,6 @@ def run_scan(args) -> dict:
             # third frame: compiles are done, steady-state behavior
             jax.profiler.start_trace(args.profile)
             profiled = True
-        T.tic()
-        depth = jnp.asarray(frame.depth)
-        T.toc("Load data")
-
         if i == first and resume_counter == 0:
             T.tic()
             if gt_mode:
@@ -319,42 +415,15 @@ def run_scan(args) -> dict:
             key = (sdf_map.cfg.grid, sdf_map.cfg.fusion, cfg.tracker,
                    track_mode, warm_alpha)
             if merged_jit.get("key") != key:
-                gcfg_l, fcfg_l = sdf_map.cfg.grid, sdf_map.cfg.fusion
-                cache_l, tcfg_l, mode_l = sdf_map.cache, cfg.tracker, track_mode
-
-                def merged_fn(g, d, R, t, Rpp, tpp, *, _c=cache_l,
-                              _g=gcfg_l, _f=fcfg_l, _t=tcfg_l, _m=mode_l):
-                    new_g, res = tracker_mod.track_and_fuse_frame(
-                        g, d, jnp.asarray(K), R, t, _c, _g, _f, _t, mode=_m,
-                        R_prev2=(Rpp if warm else None),
-                        t_prev2=(tpp if warm else None),
-                        warm_alpha=warm_alpha)
-                    # the three per-frame host decisions ride ONE transfer
-                    # (each scalar fetch is its own ~26 ms RPC on the
-                    # remote-TPU setup, PERF_NOTES.md)
-                    flags = jnp.stack([
-                        res.converged.astype(jnp.int32),
-                        new_g.overflow.astype(jnp.int32),
-                        (new_g.oob_samples > 0).astype(jnp.int32)])
-                    return new_g, res, flags
-
-                merged_jit["fn"] = jax.jit(merged_fn)
+                merged_jit["fn"] = make_merged_step(
+                    sdf_map, K, cfg.tracker, track_mode, warm_alpha)
                 merged_jit["key"] = key
             new_grid, res, flags = merged_jit["fn"](
                 sdf_map.grid, depth, R_cur, t_cur, R_pp, t_pp)
             R_pp, t_pp = R_cur, t_cur
             R_cur, t_cur = res.R, res.t
             sdf_map.grid = new_grid
-            if lagged:
-                # resolve the PREVIOUS frame's flags now — this frame's
-                # program is already dispatched, so the RPC overlaps its
-                # device compute (flags of this frame resolve next frame /
-                # at drain)
-                if pending_flags is not None:
-                    resolve_flags(*pending_flags)
-                pending_flags = (i, flags)
-            else:
-                resolve_flags(i, flags)
+            this_flags = (i, flags)  # resolved below, after the prefetch
             T.toc("Track+fuse (merged)")
         else:
             T.tic()
@@ -364,11 +433,29 @@ def run_scan(args) -> dict:
             R_init, t_init = ((tracker_mod.extrapolate_pose(
                 R_cur, t_cur, R_pp, t_pp, warm_alpha))
                 if warm else (R_cur, t_cur))
-            res = tracker_mod.track_frame(
-                sdf_map.grid, depth, jnp.asarray(K), R_init, t_init,
-                sdf_map.cfg.grid, sdf_map.cfg.fusion, cfg.tracker,
-                mode=track_mode,
-            )
+            if mesh is not None:
+                key = (sdf_map.cfg.grid, sdf_map.cfg.fusion, cfg.tracker)
+                if track_jit.get("key") != key:
+                    from ..parallel import sharding as sh_mod
+
+                    gcfg_l, fcfg_l = sdf_map.cfg.grid, sdf_map.cfg.fusion
+                    tcfg_l = cfg.tracker
+                    track_jit["fn"] = jax.jit(
+                        lambda g, d, R, t: sh_mod.sharded_track_frame(
+                            mesh, g, d, jnp.asarray(K), R, t,
+                            gcfg_l, fcfg_l, tcfg_l))
+                    track_jit["key"] = key
+                R_n, t_n, conv_d, iters = track_jit["fn"](
+                    sdf_map.grid, depth, R_init, t_init)
+                res = tracker_mod.TrackResult(
+                    R=R_n, t=t_n, converged=conv_d, num_iters=iters,
+                    energy=jnp.float32(0.0), num_valid=jnp.int32(0))
+            else:
+                res = tracker_mod.track_frame(
+                    sdf_map.grid, depth, jnp.asarray(K), R_init, t_init,
+                    sdf_map.cfg.grid, sdf_map.cfg.fusion, cfg.tracker,
+                    mode=track_mode,
+                )
             conv = bool(res.converged)
             T.toc("Point optimization")
             R_pp, t_pp = R_cur, t_cur
@@ -380,9 +467,28 @@ def run_scan(args) -> dict:
             else:
                 invalid_frames.append(i)
 
-        pose_entries.append(
-            (frame.timestamp, np.asarray(R_cur), np.asarray(t_cur))
-        )
+        # prefetch: decode and dispatch the NEXT frame's depth upload while
+        # this frame's program is still running on device (jnp.asarray
+        # enqueues the transfer without waiting for outstanding compute)
+        T.tic()
+        nxt = next(frame_iter, None)
+        nxt_depth = jnp.asarray(nxt.depth) if nxt is not None else None
+        T.toc("Load data")
+
+        if this_flags is not None:
+            if lagged:
+                # resolve the PREVIOUS frame's flags now — this frame's
+                # program and the next frame's upload are already
+                # dispatched, so the RPC overlaps device work (this frame's
+                # flags resolve next frame / at drain)
+                if pending_flags is not None:
+                    resolve_flags(*pending_flags)
+                pending_flags = this_flags
+            else:
+                resolve_flags(*this_flags)
+
+        # poses stay device arrays until a drain point (see drain_poses)
+        pose_entries.append((frame.timestamp, R_cur, t_cur))
         n_frames += 1
         if profiled and n_frames == 3:
             jax.profiler.stop_trace()
@@ -408,6 +514,7 @@ def run_scan(args) -> dict:
             if might_fire and sdf_map.counter % k == 0:
                 from ..utils import checkpoint as ckpt
 
+                drain_poses()
                 ckpt.save_state(
                     ckpt_path, sdf_map.grid,
                     vis=getattr(sdf_map, "vis", None),
@@ -417,6 +524,7 @@ def run_scan(args) -> dict:
 
     if pending_flags is not None:  # drain the last frame's lagged flags
         resolve_flags(*pending_flags)
+    drain_poses()
 
     tumio.write_trajectory(pose_path, pose_entries)
 

@@ -99,6 +99,112 @@ def render_depth(
     return jnp.where(jnp.isinf(depth), 0.0, depth)
 
 
+class BoxWorld(NamedTuple):
+    """Axis-aligned box union: the NON-SPHERE analytic fixture.
+
+    The sphere world is smooth and convex everywhere; the reference's
+    target data is planar indoor scenes with creases and occlusion edges
+    (`README.md:50,67`, RedwoodLoader/Printed3dLoader). Boxes supply
+    exactly the features spheres cannot: flat low-curvature faces (the
+    hard case for point-to-plane-style GN tracking), 90-degree creases
+    (MC + FALS at gradient discontinuities), and depth steps where a box
+    occludes the floor slab (silhouette handling in normals/raycast) —
+    while keeping EXACT analytic SDF values and gradients for scoring.
+    """
+
+    centers: jax.Array       # [B, 3]
+    half_extents: jax.Array  # [B, 3]
+
+
+def default_boxes(seed: int = 0, n: int = 3) -> BoxWorld:
+    """Floor slab (top face at z = -0.4) plus n boxes resting on it,
+    rejection-sampled for xy separation >= 5 cm so creases and occlusion
+    edges stay isolated. Deterministic per seed, like random_spheres."""
+    rng = np.random.RandomState(seed)
+    centers = [np.array([0.0, 0.0, -0.45])]
+    halfs = [np.array([0.8, 0.8, 0.05])]
+    placed: list = []
+    while len(placed) < n:
+        h = 0.06 + 0.14 * rng.rand(3)
+        c = np.array([rng.uniform(-0.35, 0.35), rng.uniform(-0.35, 0.35),
+                      -0.4 + h[2]])
+        ok = all(
+            np.max(np.abs(c[:2] - p[:2]) - (h[:2] + ph[:2])) > 0.05
+            for p, ph in placed
+        )
+        if ok:
+            placed.append((c, h))
+    for c, h in placed:
+        centers.append(c)
+        halfs.append(h)
+    return BoxWorld(
+        centers=jnp.asarray(np.array(centers), jnp.float32),
+        half_extents=jnp.asarray(np.array(halfs), jnp.float32),
+    )
+
+
+def box_sdf(world: BoxWorld, points: jax.Array):
+    """Exact SDF + unit gradient of the box union at world points (…,3).
+
+    Per box, with q = |p - c| - h: outside distance ||max(q, 0)||, inside
+    max_i(q_i); union by min like sphere_sdf. Gradients: the outward
+    face/edge/corner direction outside, the one-hot max-axis normal inside
+    (exact a.e.; crease lines themselves are measure zero)."""
+    d = points[..., None, :] - world.centers          # (…,B,3)
+    q = jnp.abs(d) - world.half_extents               # (…,B,3)
+    qp = jnp.maximum(q, 0.0)
+    out = jnp.linalg.norm(qp, axis=-1)                # (…,B)
+    qmax = jnp.max(q, axis=-1)
+    sdf_b = out + jnp.minimum(qmax, 0.0)
+    b = jnp.argmin(sdf_b, axis=-1)
+    sdf = jnp.min(sdf_b, axis=-1)
+    dn = jnp.take_along_axis(d, b[..., None, None], axis=-2)[..., 0, :]
+    qn = jnp.take_along_axis(q, b[..., None, None], axis=-2)[..., 0, :]
+    outn = jnp.take_along_axis(out, b[..., None], axis=-1)[..., 0]
+    g_out = (jnp.sign(dn) * jnp.maximum(qn, 0.0)
+             / jnp.maximum(outn[..., None], 1e-12))
+    ax = jnp.argmax(qn, axis=-1)
+    g_in = jnp.sign(dn) * jax.nn.one_hot(ax, 3, dtype=points.dtype)
+    grad = jnp.where((outn > 0.0)[..., None], g_out, g_in)
+    return sdf, grad
+
+
+def render_depth_boxes(
+    world: BoxWorld,
+    R: jax.Array,
+    t: jax.Array,
+    K: np.ndarray = KINECT_K,
+    width: int = 640,
+    height: int = 480,
+) -> jax.Array:
+    """Exact ray/AABB (slab) depth render under camera-to-world (R, t).
+
+    Rays use the UNNORMALIZED camera direction [cu, cv, 1], so the slab
+    parameter IS the camera-space depth z; per box tn = max_i min(t1, t2),
+    tf = min_i max(t1, t2), hit iff tn <= tf and tf > 0 (tf handles a
+    camera inside a box); missed rays get depth 0 like render_depth."""
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    u = (jnp.arange(width, dtype=jnp.float32) - cx) / fx
+    v = (jnp.arange(height, dtype=jnp.float32) - cy) / fy
+    cu, cv = jnp.meshgrid(u, v)
+    d_cam = jnp.stack([cu, cv, jnp.ones_like(cu)], axis=-1)    # [H,W,3]
+    d_w = jnp.einsum("ij,hwj->hwi", jnp.asarray(R, jnp.float32), d_cam)
+    d_safe = jnp.where(jnp.abs(d_w) < 1e-12, 1e-12, d_w)
+    inv = 1.0 / d_safe                                         # [H,W,3]
+    o = jnp.asarray(t, jnp.float32)
+    bmin = world.centers - world.half_extents                  # [B,3]
+    bmax = world.centers + world.half_extents
+    t1 = (bmin - o) * inv[..., None, :]                        # [H,W,B,3]
+    t2 = (bmax - o) * inv[..., None, :]
+    tn = jnp.max(jnp.minimum(t1, t2), axis=-1)                 # [H,W,B]
+    tf = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    hit = (tn <= tf) & (tf > 0.0)
+    s = jnp.where(tn > 0.0, tn, tf)
+    s = jnp.where(hit, s, jnp.inf)
+    depth = jnp.min(s, axis=-1)
+    return jnp.where(jnp.isinf(depth), 0.0, depth)
+
+
 def add_kinect_noise(depth: jax.Array, key: jax.Array) -> jax.Array:
     """Disparity-domain Kinect noise (`add_kinect_noise.m:50-74`):
     d = (3 - 1/z)/2.85e-3, d += 0.5*N(0,1), round, invert."""

@@ -42,6 +42,27 @@ class GradSdfMap:
             else None
         )
         self._fuse_jit = None
+        self.mesh = None  # set via attach_mesh for multi-device operation
+
+    # -- multi-device -------------------------------------------------------
+    def attach_mesh(self, mesh):
+        """Switch the map to multi-device operation on `mesh`: the grid's
+        per-voxel storage is resident-sharded over the mesh's block axis
+        (parallel/sharding.shard_grid) and `update` fuses via
+        `sharded_fuse_frame`, so per-device volume memory is 1/D_b. Growth
+        re-shards. Call after any checkpoint restore (scan3d does)."""
+        from ..parallel import sharding
+
+        assert self.vis is None, "visibility recording is single-device only"
+        self.mesh = mesh
+        self.grid = sharding.shard_grid(mesh, self.grid)
+        self._fuse_jit = None
+
+    def _reshard(self):
+        if self.mesh is not None:
+            from ..parallel import sharding
+
+            self.grid = sharding.shard_grid(self.mesh, self.grid)
 
     # -- camera cache -------------------------------------------------------
     def ensure_cache(self, K: np.ndarray, width: int, height: int):
@@ -68,9 +89,16 @@ class GradSdfMap:
         if self._fuse_jit is None:
             gcfg, fcfg = self.cfg.grid, self.cfg.fusion
             with_vis = self.vis is not None
+            mesh = self.mesh
 
             @jax.jit
             def _fuse(grid, vis, depth, R, t, kf_slot):
+                if mesh is not None:
+                    from ..parallel import sharding
+
+                    return sharding.sharded_fuse_frame(
+                        mesh, grid, depth, self.cache, R, t, gcfg, fcfg
+                    ), vis
                 if with_vis:
                     return fusion.fuse_frame(
                         grid, depth, self.cache, R, t, gcfg, fcfg,
@@ -102,6 +130,7 @@ class GradSdfMap:
                 [self.vis, jnp.zeros((pad,) + self.vis.shape[1:], jnp.uint32)]
             )
         self._fuse_jit = None  # config changed -> retrace
+        self._reshard()  # growth concatenates host-placed arrays
         from ..utils.logging_util import get_logger
 
         get_logger().warning("Grid grown to %d blocks", new_gcfg.num_blocks)
@@ -128,6 +157,7 @@ class GradSdfMap:
         if grew:
             self.cfg = dataclasses.replace(self.cfg, grid=new_gcfg)
             self._fuse_jit = None  # config changed -> retrace
+            self._reshard()
 
     # -- queries ------------------------------------------------------------
     def tsdf(self, points):

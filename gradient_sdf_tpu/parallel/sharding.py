@@ -307,6 +307,33 @@ def sharded_fuse_frame(mesh, grid, depth, cache, R, t, gcfg, fcfg,
     )
 
 
+def sharded_track_and_fuse_frame(mesh, grid, depth, K, R0, t0, cache, gcfg,
+                                 fcfg, tcfg, *, R_prev2=None, t_prev2=None,
+                                 warm_alpha: float = 1.0):
+    """ONE jitted program for a full multi-device Scan3D frame: sharded GN
+    tracking followed by `lax.cond`-gated sharded fusion at the refined
+    pose — the mesh analog of `tracker.track_and_fuse_frame` (same
+    main_scan_3d.cpp:258-266 semantics: non-converged frames are not
+    fused). The grid stays resident-sharded on the block axis through both
+    branches, so per-device volume memory remains 1/D_b.
+
+    Returns (grid, R, t, converged, num_iters).
+    """
+    if R_prev2 is not None:
+        R0, t0 = tracker_mod.extrapolate_pose(R0, t0, R_prev2, t_prev2,
+                                              warm_alpha)
+    R, t, conv, iters = sharded_track_frame(
+        mesh, grid, depth, K, R0, t0, gcfg, fcfg, tcfg
+    )
+    grid = jax.lax.cond(
+        conv,
+        lambda g: sharded_fuse_frame(mesh, g, depth, cache, R, t, gcfg, fcfg),
+        lambda g: g,
+        grid,
+    )
+    return grid, R, t, conv, iters
+
+
 # ---------------------------------------------------------------------------
 # sharded rendering (rays are the embarrassingly parallel axis — SURVEY.md
 # §5.7 names ray sharding as the first scale-out axis)
@@ -314,16 +341,28 @@ def sharded_fuse_frame(mesh, grid, depth, cache, R, t, gcfg, fcfg,
 
 
 def sharded_render_depth_normal(mesh, grid, K, R, t, width, height,
-                                gcfg, fcfg, *, s_min=0.1, s_max=5.0, **kw):
+                                gcfg, fcfg, *, s_min=0.1, s_max=5.0,
+                                active_cap: int = 0, **kw):
     """Render depth/normal/hit images with RAYS sharded over the whole mesh
     and the grid's per-voxel storage resident-sharded on the block axis.
 
     The march gathers voxels at data-dependent positions every step, so
     owner-computes would cost one collective per step; instead each device
-    all-gathers the per-voxel fields ONCE per render (tiled all_gather over
-    the block axis rides ICI, ~4 bytes x 5 fields x voxels) and sphere
-    traces its private ray slice with the stock single-device `raycast` —
-    identical results to an unsharded render, wall-clock ~1/n_devices.
+    assembles the per-voxel fields ONCE per render and sphere traces its
+    private ray slice with the stock single-device `raycast` — identical
+    results to an unsharded render, wall-clock ~1/n_devices.
+
+    `active_cap` bounds the per-render collective: block slots are a dense
+    allocation prefix [0, num_active), so with cap >= num_active only the
+    first `cap` block rows need to move — each device contributes its
+    owned rows of the prefix and ONE psum over the block axis assembles
+    the [cap, B^3] fields (collective bytes scale with the ACTIVE volume,
+    not the 2^14-block capacity; same capacity-vs-work compaction the
+    fusion collective uses). The caller supplies a host-known cap
+    (`num_active` rounded up to a retrace rung, bench/app style); 0 = full
+    capacity all_gather. A cap below num_active does not read garbage —
+    directory entries >= cap are masked to unallocated, those blocks
+    render as empty (caller contract violation, bounded effect).
 
     Returns (depth [H,W], normal [H,W,3], hit [H,W]) replicated.
     """
@@ -341,6 +380,8 @@ def sharded_render_depth_normal(mesh, grid, K, R, t, width, height,
             [dirs, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32),
                             (pad, 1))], axis=0)
     ray_spec = P((RAY_AXIS, BLOCK_AXIS))
+    nb = grid.num_blocks
+    cap = min(int(active_cap), nb) if active_cap > 0 else 0
 
     @functools.partial(
         shard_map,
@@ -354,17 +395,45 @@ def sharded_render_depth_normal(mesh, grid, K, R, t, width, height,
         check_vma=False,
     )
     def render(grid_shard, o, d):
-        full = grid_shard._replace(
-            dist=jax.lax.all_gather(grid_shard.dist, BLOCK_AXIS, tiled=True),
-            weight=jax.lax.all_gather(
-                grid_shard.weight, BLOCK_AXIS, tiled=True),
-            grad_x=jax.lax.all_gather(
-                grid_shard.grad_x, BLOCK_AXIS, tiled=True),
-            grad_y=jax.lax.all_gather(
-                grid_shard.grad_y, BLOCK_AXIS, tiled=True),
-            grad_z=jax.lax.all_gather(
-                grid_shard.grad_z, BLOCK_AXIS, tiled=True),
-        )
+        if cap and cap < nb:
+            # active-prefix assembly: each device owns a contiguous slot
+            # range; its intersection with the prefix [0, cap) scatters
+            # into a [cap+1, B^3] buffer (row `cap` absorbs the rest) and
+            # one psum sums the disjoint contributions
+            nb_local = grid_shard.dist.shape[0]
+            lo = jax.lax.axis_index(BLOCK_AXIS) * nb_local
+            rows = lo + jnp.arange(nb_local, dtype=jnp.int32)
+            dest = jnp.where(rows < cap, rows, cap)
+
+            def prefix(field):
+                buf = jnp.zeros((cap + 1,) + field.shape[1:], field.dtype)
+                buf = buf.at[dest].add(field, mode="drop")
+                return jax.lax.psum(buf, BLOCK_AXIS)[:cap]
+
+            full = grid_shard._replace(
+                # mask slots beyond the prefix (none exist when the caller
+                # honors cap >= num_active; bounded miss otherwise)
+                directory=jnp.where(grid_shard.directory < cap,
+                                    grid_shard.directory, -1),
+                dist=prefix(grid_shard.dist),
+                weight=prefix(grid_shard.weight),
+                grad_x=prefix(grid_shard.grad_x),
+                grad_y=prefix(grid_shard.grad_y),
+                grad_z=prefix(grid_shard.grad_z),
+            )
+        else:
+            full = grid_shard._replace(
+                dist=jax.lax.all_gather(
+                    grid_shard.dist, BLOCK_AXIS, tiled=True),
+                weight=jax.lax.all_gather(
+                    grid_shard.weight, BLOCK_AXIS, tiled=True),
+                grad_x=jax.lax.all_gather(
+                    grid_shard.grad_x, BLOCK_AXIS, tiled=True),
+                grad_y=jax.lax.all_gather(
+                    grid_shard.grad_y, BLOCK_AXIS, tiled=True),
+                grad_z=jax.lax.all_gather(
+                    grid_shard.grad_z, BLOCK_AXIS, tiled=True),
+            )
         res = rc_mod.raycast(full, o, d, gcfg, fcfg,
                              s_min=s_min, s_max=s_max, **kw)
         return res.depth, res.normal, res.hit

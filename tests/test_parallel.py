@@ -194,6 +194,57 @@ def test_sharded_render_matches_single_device(scene, block_parallel):
                                atol=1e-5)
 
 
+def test_sharded_render_active_cap(scene):
+    """Compact render collective (VERDICT r4 weak #5): with active_cap >=
+    num_active the per-render collective assembles only the [cap, B^3]
+    active prefix (block slots are a dense allocation prefix) and results
+    equal the unsharded render; the lowered program moves NO capacity-sized
+    field tensor through any collective."""
+    from gradient_sdf_tpu.ops import raycast
+
+    world, cache, poses = scene
+    mesh = mesh_mod.make_mesh(8, block_parallel=2)
+    grid = vg.create(GCFG)
+    for i in range(2):
+        R, t = poses[i]
+        depth = synth.render_depth(world, jnp.asarray(R), jnp.asarray(t),
+                                   K, W, H)
+        grid = fusion.fuse_frame(grid, depth, cache, jnp.asarray(R),
+                                 jnp.asarray(t), GCFG, FCFG)
+    R, t = poses[0]
+    d_ref, n_ref, h_ref = raycast.render_depth_normal(
+        grid, jnp.asarray(K), jnp.asarray(R), jnp.asarray(t), W, H,
+        GCFG, FCFG, s_max=2.5, prior_stride=0,
+    )
+    par = sharding.shard_grid(mesh, grid)
+    cap = 128
+    assert int(grid.num_active) <= cap < GCFG.num_blocks
+
+    def fn(g, R, t):
+        return sharding.sharded_render_depth_normal(
+            mesh, g, jnp.asarray(K), R, t, W, H, GCFG, FCFG, s_max=2.5,
+            active_cap=cap,
+        )
+
+    d_par, n_par, h_par = fn(par, jnp.asarray(R), jnp.asarray(t))
+    assert int(jnp.sum(h_ref)) > 100
+    np.testing.assert_array_equal(np.asarray(h_par), np.asarray(h_ref))
+    np.testing.assert_allclose(np.asarray(d_par), np.asarray(d_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(n_par), np.asarray(n_ref),
+                               atol=1e-5)
+
+    hlo = jax.jit(fn).lower(par, jnp.asarray(R), jnp.asarray(t)).as_text()
+    vpb = GCFG.voxels_per_block
+    # the 5 field collectives are [cap+1, B^3] psums (+1: the absorber row)
+    assert hlo.count(f"tensor<{cap + 1}x{vpb}xf32>") >= 5
+    # and no collective carries a capacity-sized field tensor
+    full = f"tensor<{GCFG.num_blocks}x{vpb}xf32>"
+    for op in ("stablehlo.all_gather", "stablehlo.all_reduce"):
+        for seg in hlo.split(op)[1:]:
+            assert full not in seg[:600], f"capacity-sized {op}"
+
+
 @pytest.mark.parametrize("touched_cap", [256, 1])
 def test_sharded_fusion_touched_compaction(scene, touched_cap):
     """Compact-collective fusion (touched_cap >= frame's touched blocks)
