@@ -104,18 +104,55 @@ def bin_stats(errors: np.ndarray, dist_to_surface: np.ndarray,
     return stats
 
 
-def analyze(dump: dict, sphere_centers: np.ndarray, sphere_radii: np.ndarray,
-            num_bins: int = 10, max_band_voxels: float = 10.0):
-    """Full analysis: stored vs FD gradient angle errors binned by
-    |distance to surface| (in voxels). Returns dict of method -> bin stats."""
+def grid_points(dump: dict) -> np.ndarray:
+    """World coordinates [X,Y,Z,3] of the dump's voxel centers."""
     vs = dump["voxel_size"]
     dim, vmin = dump["dim"], dump["vmin"]
     xs = (np.arange(dim[0]) + vmin[0]) * vs
     ys = (np.arange(dim[1]) + vmin[1]) * vs
     zs = (np.arange(dim[2]) + vmin[2]) * vs
     X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
-    pts = np.stack([X, Y, Z], axis=-1)
+    return np.stack([X, Y, Z], axis=-1)
 
+
+def box_true_field(pts: np.ndarray, centers: np.ndarray,
+                   half_extents: np.ndarray):
+    """Analytic union-box SDF + INWARD unit normal at points (numpy mirror
+    of `data/synth.box_sdf`; inward sign matches the stored gradients).
+    Exact a.e. — crease/edge lines themselves are measure zero."""
+    d = pts[..., None, :] - centers
+    q = np.abs(d) - half_extents
+    out = np.linalg.norm(np.maximum(q, 0.0), axis=-1)
+    qmax = q.max(axis=-1)
+    sdf_b = out + np.minimum(qmax, 0.0)
+    b = np.argmin(np.abs(sdf_b), axis=-1)
+    sdf = np.take_along_axis(sdf_b, b[..., None], axis=-1)[..., 0]
+    dn = np.take_along_axis(d, b[..., None, None], axis=-2)[..., 0, :]
+    qn = np.take_along_axis(q, b[..., None, None], axis=-2)[..., 0, :]
+    outn = np.take_along_axis(out, b[..., None], axis=-1)[..., 0]
+    g_out = (np.sign(dn) * np.maximum(qn, 0.0)
+             / np.maximum(outn[..., None], 1e-12))
+    g_in = np.sign(dn) * np.eye(3)[qn.argmax(axis=-1)]
+    grad = np.where((outn > 0.0)[..., None], g_out, g_in)
+    return sdf, -grad
+
+
+def analyze_boxes(dump: dict, centers: np.ndarray, half_extents: np.ndarray,
+                  num_bins: int = 10, max_band_voxels: float = 10.0):
+    """Gradient-accuracy analysis against the analytic BOX world (the
+    crease/occlusion fixture, `data/synth.BoxWorld`): stored vs FD
+    gradients scored against exact box normals — the planar-face analog of
+    the paper's sphere analysis."""
+    true_sdf, true_n = box_true_field(grid_points(dump), centers,
+                                      half_extents)
+    return _analyze_field(dump, true_sdf, true_n, num_bins, max_band_voxels)
+
+
+def analyze(dump: dict, sphere_centers: np.ndarray, sphere_radii: np.ndarray,
+            num_bins: int = 10, max_band_voxels: float = 10.0):
+    """Full analysis: stored vs FD gradient angle errors binned by
+    |distance to surface| (in voxels). Returns dict of method -> bin stats."""
+    pts = grid_points(dump)
     diff = pts[..., None, :] - sphere_centers  # [...,S,3]
     dists = np.linalg.norm(diff, axis=-1) - sphere_radii
     s = np.argmin(np.abs(dists), axis=-1)
@@ -125,7 +162,12 @@ def analyze(dump: dict, sphere_centers: np.ndarray, sphere_radii: np.ndarray,
     true_n = -nearest / np.maximum(
         np.linalg.norm(nearest, axis=-1, keepdims=True), 1e-12
     )
+    return _analyze_field(dump, true_sdf, true_n, num_bins, max_band_voxels)
 
+
+def _analyze_field(dump: dict, true_sdf: np.ndarray, true_n: np.ndarray,
+                   num_bins: int, max_band_voxels: float):
+    vs = dump["voxel_size"]
     w = dump["w"]
     stored = np.stack([dump["n0"], dump["n1"], dump["n2"]], axis=-1)
     fd, fd_valid = _finite_diff(dump["d"], w, vs)
@@ -139,9 +181,14 @@ def analyze(dump: dict, sphere_centers: np.ndarray, sphere_radii: np.ndarray,
         angle_error_deg(stored[mask], true_n[mask]), true_sdf[mask], edges
     )
     for mode in ("central", "forward", "backward"):
-        # finite differences of the SDF increase outward -> flip to inward
+        # the stored dist is NEGATIVE in observed free space (reference
+        # sign convention, MapGradPixelSdf.cpp:95-101), so it INCREASES
+        # toward the interior: its finite differences already point inward,
+        # matching the stored-gradient convention — no sign flip. (A flip
+        # lived here through round 4 and pushed every FD method to ~177 deg;
+        # the "stored beats FD" comparison is only meaningful unflipped.)
         m = fd_valid[mode] & band
         results[mode] = bin_stats(
-            angle_error_deg(-fd[mode][m], true_n[m]), true_sdf[m], edges
+            angle_error_deg(fd[mode][m], true_n[m]), true_sdf[m], edges
         )
     return results

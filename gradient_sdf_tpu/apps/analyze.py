@@ -23,16 +23,27 @@ def main(argv=None):
     p = argparse.ArgumentParser("analyze")
     p.add_argument("--sdf-prefix", required=True,
                    help="prefix passed to scan3d --save-sdf")
-    p.add_argument("--spheres", required=True,
+    p.add_argument("--spheres", default=None,
                    help="spheres.txt written by make_synth (cx cy cz r rows)")
+    p.add_argument("--boxes", default=None,
+                   help="boxes.txt written by make_synth --world box "
+                        "(cx cy cz hx hy hz rows) — scores against exact "
+                        "box normals instead")
     p.add_argument("--bins", type=int, default=10)
     p.add_argument("--json", default=None, help="write results as JSON")
     a = p.parse_args(argv)
+    if bool(a.spheres) == bool(a.boxes):
+        p.error("pass exactly one of --spheres / --boxes")
 
     dump = ga.load_sdf_dump(a.sdf_prefix)
-    spheres = np.loadtxt(a.spheres)
-    spheres = np.atleast_2d(spheres)
-    res = ga.analyze(dump, spheres[:, :3], spheres[:, 3], num_bins=a.bins)
+    if a.boxes:
+        boxes = np.atleast_2d(np.loadtxt(a.boxes))
+        res = ga.analyze_boxes(dump, boxes[:, :3], boxes[:, 3:],
+                               num_bins=a.bins)
+    else:
+        spheres = np.atleast_2d(np.loadtxt(a.spheres))
+        res = ga.analyze(dump, spheres[:, :3], spheres[:, 3],
+                         num_bins=a.bins)
 
     for method, bins in res.items():
         print(f"== {method}")

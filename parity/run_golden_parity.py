@@ -102,6 +102,16 @@ def main():
                          "axis a short arc cannot test; ~25 extra minutes, "
                          "our side runs on CPU)")
     ap.add_argument("--long-frames", type=int, default=150)
+    ap.add_argument("--box", action="store_true",
+                    help="also run the BOX-WORLD parity stage (planar faces "
+                         "+ creases + occlusion edges, make_synth --world "
+                         "box): GT-fusion voxel parity, mesh parity at "
+                         "creases, stored-gradient accuracy vs analytic box "
+                         "normals, and tracking parity-of-failure (BOTH "
+                         "implementations' GN oscillates above the 1e-3 "
+                         "gate on all-axis-aligned grazing planes — a "
+                         "formulation-level projective-TSDF bias shared "
+                         "with the reference, measured round 5)")
     opts = ap.parse_args()
 
     if not os.path.isfile(opts.binary):
@@ -585,6 +595,142 @@ def main():
             and report["loop_mesh_ref2ours_p99"] <= 1.5 * 0.02
         )
 
+    # ---- 6 (opt-in). Box-world parity (creases + occlusion edges) --------
+    box_ok = None
+    if opts.box:
+        from gradient_sdf_tpu.utils import se3, tumio
+
+        bdata = os.path.join(opts.work, "data_box")
+        if not os.path.isfile(os.path.join(bdata, "gt_poses.txt")):
+            run_py(
+                "import runpy, sys\n"
+                f"sys.argv=['make_synth','--out',{bdata!r},'--frames','6',"
+                "'--seed','2','--width','640','--height','480',"
+                "'--arc-deg','4','--no-noise','--world','box']\n"
+                "runpy.run_module('gradient_sdf_tpu.apps.make_synth',"
+                "run_name='__main__')")
+
+        # 6a. GT-pose fusion voxel parity (stage-1 gates on box geometry:
+        # the per-voxel walk now crosses creases and occlusion shadows)
+        ref_b = os.path.join(opts.work, "ref_box") + "/"
+        our_b = os.path.join(opts.work, "ours_box")
+        os.makedirs(ref_b, exist_ok=True)
+        run([opts.binary, "--input", bdata + "/", "--results", ref_b,
+             "--pose-file", "gt_poses.txt", "--data-type", "synth",
+             "--scan-type", "grad-sdf", "--voxel-size", "0.02",
+             "--trunc", "5", "--save-sdf"])
+        run_py(
+            "import runpy, sys\n"
+            f"sys.argv=['scan3d','--input',{bdata!r},'--results',{our_b!r},"
+            "'--pose-file','gt_poses.txt','--data-type','synth',"
+            "'--voxel-size','0.02','--trunc','5','--save-sdf']\n"
+            "runpy.run_module('gradient_sdf_tpu.apps.scan3d',"
+            "run_name='__main__')")
+        refd = load_sdf_dump(os.path.join(ref_b, "gradient_sdf"))
+        ourd = load_sdf_dump(os.path.join(our_b, "gradient_sdf"))
+        assert refd["d"].shape == ourd["d"].shape, \
+            f"box bounding boxes differ: {refd['d'].shape} vs {ourd['d'].shape}"
+        wr_b, wo_b = refd["w"], ourd["w"]
+        both_b = (wr_b > 0) & (wo_b > 0)
+        either_b = (wr_b > 0) | (wo_b > 0)
+        box_set = 1.0 - both_b.sum() / max(either_b.sum(), 1)
+        box_wmis = float((np.abs(wr_b - wo_b)[both_b] > 0.01).mean())
+        same_wb = both_b & (np.abs(wr_b - wo_b) <= 0.01)
+        d_diff_b = np.abs(refd["d"] - ourd["d"])[same_wb]
+        # the box scene has a VISIBILITY RIM the closed sphere surfaces
+        # don't: the floor slab leaves the frustum at grazing incidence,
+        # and there a half-ulp projection difference flips which depth
+        # pixel a rim voxel's sample reads — measured: exactly 1 voxel
+        # (floor rim corner) above 1e-3, p999 6e-5. Gate the bulk at the
+        # sphere threshold and bound the rim-outlier count.
+        report.update(box_voxel_set_delta=round(float(box_set), 5),
+                      box_w_mismatch_frac=round(box_wmis, 5),
+                      box_d_p999_same_weight=float(
+                          np.quantile(d_diff_b, 0.999)),
+                      box_d_outliers=int((d_diff_b > MAX_D_SAMEW).sum()),
+                      box_d_max_same_weight=float(d_diff_b.max()))
+
+        # 6b. mesh parity at creases. Same rim caveat: each side owns a
+        # handful of marginal observation-boundary voxels the other lacks
+        # (one extra grazing sample flips `observed`), so triangles exist
+        # on the floor rim of one mesh only — measured 8/2353 of our
+        # vertices, 14/12852 of the reference's, ALL at z=-0.4 rim. Gate
+        # the bulk at stage-1b tightness + bound the rim fraction.
+        rv_b = verts(os.path.join(ref_b, "gradient_sdf_mesh_final.ply"))
+        ov_b = verts(os.path.join(our_b, "gradient_sdf_mesh_final.ply"))
+        d_ro_b, d_or_b = nn(rv_b, ov_b), nn(ov_b, rv_b)
+        report["box_mesh_ref2ours_p99"] = float(np.quantile(d_ro_b, 0.99))
+        report["box_mesh_ours2ref_p99"] = float(np.quantile(d_or_b, 0.99))
+        report["box_mesh_rim_frac"] = [float((d_ro_b > 0.005).mean()),
+                                       float((d_or_b > 0.005).mean())]
+        report["box_mesh_ours2ref_max"] = float(d_or_b.max())
+
+        # 6c. stored gradients vs ANALYTIC box normals (crease-band
+        # accuracy of our dump; the box analog of the Fig. 3 analysis)
+        from gradient_sdf_tpu.analysis.gradient_analysis import analyze_boxes
+
+        boxes = np.atleast_2d(np.loadtxt(os.path.join(bdata, "boxes.txt")))
+        ares = analyze_boxes(ourd, boxes[:, :3], boxes[:, 3:], num_bins=5)
+        near = [b for b in ares["stored"] if b.get("count")][0]
+        report["box_grad_near_median_deg"] = near["median"]
+
+        # 6d. tracking parity-of-failure: on the all-axis-aligned box scene
+        # BOTH GN trackers oscillate at the cm level and never hit the 1e-3
+        # gate (projective-TSDF bias at grazing incidence on the floor
+        # slab; reference behaves identically — zero "Convergence after"
+        # lines). Gate: identical zero-convergence bookkeeping AND same-
+        # order error envelopes vs GT relative motion.
+        ref_bt = os.path.join(opts.work, "ref_box_track") + "/"
+        our_bt = os.path.join(opts.work, "ours_box_track")
+        os.makedirs(ref_bt, exist_ok=True)
+        r = run([opts.binary, "--input", bdata + "/", "--results", ref_bt,
+                 "--pose-file", "nonexistent.txt", "--data-type", "synth",
+                 "--scan-type", "grad-sdf", "--voxel-size", "0.02",
+                 "--trunc", "5"])
+        ref_conv = len(re.findall(r"Convergence after", r.stdout))
+        run_py(
+            "import runpy, sys\n"
+            f"sys.argv=['scan3d','--input',{bdata!r},'--results',{our_bt!r},"
+            "'--pose-file','nonexistent.txt','--data-type','synth',"
+            "'--voxel-size','0.02','--trunc','5','--no-warm-start',"
+            f"'--metrics-json','{our_bt}/m.json']\n"
+            "runpy.run_module('gradient_sdf_tpu.apps.scan3d',"
+            "run_name='__main__')")
+        mb = json.load(open(os.path.join(our_bt, "m.json")))
+        report["box_ref_converged_frames"] = ref_conv
+        report["box_ours_invalid_frames"] = len(mb.get("invalid_frames", []))
+
+        def rel_errs(path):
+            est = tumio.read_trajectory(path)
+            gtb = tumio.read_trajectory(os.path.join(bdata, "gt_poses.txt"))
+
+            def rel(traj, i):
+                import jax.numpy as jnp
+                R0, t0 = jnp.asarray(traj[0][1]), jnp.asarray(traj[0][2])
+                Ri, ti = jnp.asarray(traj[i][1]), jnp.asarray(traj[i][2])
+                return np.asarray(
+                    se3.se3_mul(*se3.se3_inv(R0, t0), Ri, ti)[1])
+
+            return [float(np.linalg.norm(rel(est, i) - rel(gtb, i)))
+                    for i in range(1, len(est))]
+
+        errs_ref = rel_errs(os.path.join(ref_bt, "_poses.txt"))
+        errs_our = rel_errs(os.path.join(our_bt, "_poses.txt"))
+        report["box_track_err_max_ref"] = round(max(errs_ref), 4)
+        report["box_track_err_max_ours"] = round(max(errs_our), 4)
+
+        box_ok = (box_set <= MAX_VOXEL_SET_DELTA
+                  and box_wmis <= MAX_W_MISMATCH_FRAC
+                  and report["box_d_p999_same_weight"] <= MAX_D_SAMEW
+                  and report["box_d_outliers"] <= 5
+                  and report["box_mesh_ref2ours_p99"] <= 0.25 * 0.02
+                  and report["box_mesh_ours2ref_p99"] <= 0.25 * 0.02
+                  and max(report["box_mesh_rim_frac"]) <= 0.01
+                  and report["box_grad_near_median_deg"] <= 5.0
+                  and ref_conv == 0
+                  and report["box_ours_invalid_frames"] == 5
+                  and max(errs_ref) <= 0.06 and max(errs_our) <= 0.06)
+
     print(json.dumps(report, indent=2))
     # persist the measurement so bench.py reads the ACTUAL measured
     # reference fps for vs_measured_reference instead of a hardcoded copy
@@ -613,7 +759,8 @@ def main():
           and kf_ok is not False
           and ba_conv_ok is not False
           and ate_ok is not False
-          and long_ok is not False)
+          and long_ok is not False
+          and box_ok is not False)
     print("PARITY " + ("OK" if ok else "FAIL"))
     return 0 if ok else 1
 

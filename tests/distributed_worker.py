@@ -1,10 +1,11 @@
 """Worker for the 2-process jax.distributed test (see test_distributed.py).
 
 Each process contributes 2 virtual CPU devices -> a 4-device global
-(rays, blocks) mesh spanning processes. Fuses two frames with the grid
-storage resident-sharded over the block axis (cross-process collectives on
-the blocks axis ride the distributed backend) and checks the result against
-a process-local single-device reference.
+(rays, blocks) mesh spanning processes. Exercises all three sharded hot
+paths with cross-process collectives on the block axis: FUSION (two frames,
+storage resident-sharded, result vs process-local reference), RENDER (rays
+over the whole mesh, fields gathered across processes), and TRACKING
+(owner-computes GN residual psum, gated same-map vs the local tracker).
 """
 
 import os
@@ -116,8 +117,39 @@ def main():
     assert hits > 100, hits
     derr = float(jnp.max(jnp.abs(d_par - d_ref)))
     assert derr < 1e-4, derr
+    # sharded TRACKING across the two processes: pixels shard over rays,
+    # residuals resolve owner-computes against the cross-process block
+    # shards, (E, g, H) psum over both axes. Gated against the local
+    # single-device tracker ON THE SAME MAP (the sharded volume replicated
+    # and pulled to host — an independently re-fused map carries reduction-
+    # order fp noise that GN amplifies, see __graft_entry__ round-5 note).
+    from gradient_sdf_tpu.config import TrackerConfig
+    from gradient_sdf_tpu.models import tracker as tracker_mod
+    from jax.sharding import PartitionSpec as P
+
+    rep = jax.tree.map(lambda s: NamedSharding(mesh, P()), specs,
+                       is_leaf=lambda x: not isinstance(x, vg.VoxelGrid))
+    grid_rep = jax.jit(lambda g: g, out_shardings=rep)(grid)
+    grid_local = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), grid_rep)
+
+    tcfg = TrackerConfig(num_iterations=5)
+    depth1 = synth.render_depth(world, Rr, tr, K, W, H)
+    Rt, tt, conv, iters = jax.jit(
+        lambda g, d, R, t: sharding.sharded_track_frame(
+            mesh, g, d, jnp.asarray(K), R, t, gcfg, fcfg, tcfg),
+        out_shardings=NamedSharding(mesh, P()),
+    )(grid, depth1, jnp.asarray(poses[0][0]), jnp.asarray(poses[0][1]))
+    res_loc = tracker_mod.track_frame(
+        grid_local, depth1, jnp.asarray(K), jnp.asarray(poses[0][0]),
+        jnp.asarray(poses[0][1]), gcfg, fcfg, tcfg)
+    assert int(iters) == int(res_loc.num_iters), \
+        (int(iters), int(res_loc.num_iters))
+    d_R = float(jnp.max(jnp.abs(Rt - res_loc.R)))
+    d_t = float(jnp.max(jnp.abs(tt - res_loc.t)))
+    assert d_R < 5e-4 and d_t < 5e-4, (d_R, d_t)
+
     print(f"DIST_OK pid={pid} active={na} wsum={wsum:.3f} "
-          f"render_hits={hits}", flush=True)
+          f"render_hits={hits} track_dR={d_R:.2e}", flush=True)
 
 
 if __name__ == "__main__":
