@@ -54,6 +54,16 @@ def build_parser():
                         "BA comparison is isolated from tracking fp noise.")
     p.add_argument("--key-frame", dest="key_frame", type=int, default=30,
                    help="maximum number of keyframes used in BA")
+    p.add_argument("--ba-init-pose-file", dest="ba_init_pose_file",
+                   default=None,
+                   help="TUM trajectory relative to --input: OVERRIDE the "
+                        "BA keyframes' initial poses (matched by "
+                        "timestamp) after phase 1. With --pose-file "
+                        "gt_poses.txt this is the BA-recovery fixture: the "
+                        "map is fused at ground truth and BA starts from "
+                        "perturbed poses (parity/run_golden_parity.py "
+                        "--ba-recovery measures how far each "
+                        "implementation recovers)")
     p.add_argument("--coupled-poses", action="store_true",
                    help="use the full 6Fx6F pose system (solvePoseFull)")
     p.add_argument("--channel-mix-parity", action="store_true",
@@ -250,6 +260,18 @@ def run_photoba(args) -> dict:
         [loader.load_color_at(k["index"]) for k in kfs]).astype(np.float32)
     poses = [k["pose"] for k in kfs]
     slots = [k["slot"] for k in kfs]
+    if getattr(args, "ba_init_pose_file", None):
+        loaded = loader.load_poses(args.ba_init_pose_file)
+        if not loaded:
+            raise SystemExit(f"cannot load {args.ba_init_pose_file}")
+        init = {ts: (np.asarray(R, np.float32), np.asarray(t, np.float32))
+                for ts, R, t in loaded}
+        missing = [k["stamp"] for k in kfs if k["stamp"] not in init]
+        if missing:
+            raise SystemExit(
+                f"--ba-init-pose-file lacks keyframe stamps {missing}")
+        poses = [init[k["stamp"]] for k in kfs]
+        print(f"BA initial poses overridden from {args.ba_init_pose_file}")
 
     gcfg_live = sdf_map.cfg.grid  # may have grown during phase 1
     problem, state = photo_ba.build_problem(

@@ -544,7 +544,8 @@ def raycast(
 def block_raster_windows(grid: vg.VoxelGrid, K, R, t,
                          width: int, height: int, gcfg: GridConfig,
                          *, tile: int = 16, max_span: int = 4,
-                         active_cap: int = 4096):
+                         active_cap: int = 4096,
+                         occlusion_zcap: bool = False):
     """EXACT per-pixel march windows by rasterizing the active blocks.
 
     Every observed zero crossing lies inside an allocated block (fusion
@@ -641,6 +642,44 @@ def block_raster_windows(grid: vg.VoxelGrid, K, R, t,
     tiles_lo = jnp.minimum(tiles_lo, glob_lo)
     tiles_hi = jnp.maximum(tiles_hi, glob_hi)
 
+    if occlusion_zcap:
+        # OCCLUSION Z-CAP — probed round 5 and REJECTED AS UNSOUND; kept
+        # ONLY so tools/probe_raycast_occl_zcap.py reproduces the
+        # measurement. NEVER default this on. The idea: a tile whose pixel
+        # square lies entirely inside one block's projected
+        # inscribed-sphere silhouette caps its window at that block's far
+        # range ("first covering surface occludes everything behind").
+        # The flaw: an allocated block's truncation band can clip a corner
+        # or run oblique without blocking all of the tile's rays, so the
+        # cap drops REAL geometry behind silhouettes. Measured on the
+        # bench raycast scene (vs=1 cm, 875 active blocks): 683 of 76,641
+        # hits LOST, depth errors up to 2.4 m, for a ~3% window
+        # tightening (PERF_NOTES.md round 5). Same family as the round-4
+        # raster-hull-fallback reversion: hull geometry without a per-ray
+        # occlusion proof loses coverage exactly at silhouettes.
+        r_in = r / jnp.sqrt(3.0).astype(jnp.float32)  # inscribed sphere
+        ru_in = fx * r_in / (qz_safe + r)
+        rv_in = fy * r_in / (qz_safe + r)
+        ctx0 = jnp.clip(jnp.ceil((u - ru_in) / tile).astype(jnp.int32),
+                        0, WT - 1)
+        ctx1 = jnp.clip(jnp.floor((u + ru_in) / tile).astype(jnp.int32) - 1,
+                        0, WT - 1)
+        cty0 = jnp.clip(jnp.ceil((v - rv_in) / tile).astype(jnp.int32),
+                        0, HT - 1)
+        cty1 = jnp.clip(jnp.floor((v + rv_in) / tile).astype(jnp.int32) - 1,
+                        0, HT - 1)
+        cov = proj & (ctx1 >= ctx0) & (cty1 >= cty0)
+        tyc = cty0[:, None] + ii[None, :]
+        txc = ctx0[:, None] + ii[None, :]
+        oky = cov[:, None] & (tyc <= cty1[:, None])
+        okx = txc <= ctx1[:, None]
+        idx_c = tyc[:, :, None] * WT + txc[:, None, :]
+        okc = oky[:, :, None] & okx[:, None, :]
+        idx_c = jnp.where(okc, idx_c, nt).reshape(-1)
+        tiles_cap = jnp.full((nt,), jnp.inf).at[idx_c].min(
+            hi_s, mode="drop")
+        tiles_hi = jnp.minimum(tiles_hi, tiles_cap)
+
     # tiles -> pixels (empty tile: lo=inf > hi=-inf -> instant miss)
     img_lo = jnp.repeat(jnp.repeat(tiles_lo.reshape(HT, WT), tile, 0),
                         tile, 1)[:height, :width].reshape(-1)
@@ -706,6 +745,7 @@ def render_depth_normal(
     prior_stride: int = 4,
     prior_mode: str = "stride",
     prior_miss_skip: bool = True,
+    prior_occlusion_zcap: bool = False,
     depth_prior: Optional[jax.Array] = None,
     depth_prior_holes: str = "march",
     prior_margin_voxels: Optional[float] = None,
@@ -755,7 +795,8 @@ def render_depth_normal(
         # sub-coarse-pixel miss heuristic — tiles no block covers are
         # provably empty of observed crossings.
         s_lo, s_hi = block_raster_windows(grid, K, R, t, width, height,
-                                          gcfg)
+                                          gcfg,
+                                          occlusion_zcap=prior_occlusion_zcap)
     elif depth_prior is not None:
         # Prior windows bound every WINDOWED ray to a few probes, so the
         # pre-compacted burst finishes them all and the straggler
@@ -802,7 +843,8 @@ def render_depth_normal(
         # own hit-window output, so here the hull only replaces "no bound
         # at all" and cannot lose coverage the stride prior had.
         rw_lo, rw_hi = block_raster_windows(grid, K, R, t, width, height,
-                                            gcfg)
+                                            gcfg,
+                                            occlusion_zcap=prior_occlusion_zcap)
         rw_lo_i = rw_lo.reshape(height, width)
         rw_hi_i = rw_hi.reshape(height, width)
         rw_lo_c = rw_lo_i[off::prior_stride, off::prior_stride].reshape(-1)

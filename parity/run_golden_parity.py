@@ -112,6 +112,15 @@ def main():
                          "gate on all-axis-aligned grazing planes — a "
                          "formulation-level projective-TSDF bias shared "
                          "with the reference, measured round 5)")
+    ap.add_argument("--ba-recovery", dest="ba_recovery", action="store_true",
+                    help="also run the BA-RECOVERY fixture (VERDICT r4 item "
+                         "4): fuse the grayscale world at GROUND-TRUTH "
+                         "poses, hand BOTH implementations' optimizers "
+                         "perturbed keyframe poses (via "
+                         "parity/probe_ba_recovery.cpp for the reference, "
+                         "photoba --ba-init-pose-file for ours), and gate "
+                         "that BA measurably RECOVERS (post < pre aligned "
+                         "ATE) and that ours converges (optimize() True)")
     opts = ap.parse_args()
 
     if not os.path.isfile(opts.binary):
@@ -595,6 +604,123 @@ def main():
             and report["loop_mesh_ref2ours_p99"] <= 1.5 * 0.02
         )
 
+    # ---- 7 (opt-in). BA-recovery fixture ---------------------------------
+    # Does BA demonstrably IMPROVE a reconstruction? The reference app
+    # cannot start BA from known-bad poses, so parity/probe_ba_recovery.cpp
+    # links its libraries: fuse 24 grayscale VGA frames at GT (vs=1 cm),
+    # select keyframes with the reference's own policy, hand optimize()
+    # poses perturbed by a fixed-seed 2 mm / 0.2 deg and 3 mm / 0.3 deg
+    # twist, and measure Horn-aligned keyframe ATE before/after. Measured
+    # round 5 (PARITY.md "BA recovery" for the full story): at 2 mm both
+    # sides recover ~2x (ref 1.84 -> 0.94 mm, ours -> 1.12 mm); at 3 mm
+    # ours CONVERGES (optimize() True) and recovers 2.76 -> 1.71 mm.
+    ba_rec_ok = None
+    if opts.ba_recovery:
+        from gradient_sdf_tpu.utils import ate as ate_mod
+        from gradient_sdf_tpu.utils import tumio
+
+        gdata = os.path.join(opts.work, "data_gray")
+        if not os.path.isfile(os.path.join(gdata, "gt_poses.txt")):
+            run_py(
+                "import runpy, sys\n"
+                f"sys.argv=['make_synth','--out',{gdata!r},'--frames','24',"
+                "'--seed','5','--width','640','--height','480',"
+                "'--arc-deg','48','--gray-texture','--no-noise']\n"
+                "runpy.run_module('gradient_sdf_tpu.apps.make_synth',"
+                "run_name='__main__')")
+        probe = "/tmp/probe_ba_recovery"
+        if not os.path.isfile(probe):
+            eigen = subprocess.run(
+                [sys.executable, "-c",
+                 "import tensorflow, os; print(os.path.join(os.path.dirname("
+                 "tensorflow.__file__), 'include'))"],
+                capture_output=True, text=True).stdout.strip()
+            pkg = subprocess.run(["pkg-config", "--cflags", "--libs",
+                                  "opencv4"], capture_output=True,
+                                 text=True).stdout.split()
+            run(["g++", "-O2", "-std=c++17", "-fopenmp",
+                 os.path.join(REPO, "parity", "probe_ba_recovery.cpp"),
+                 "-isystem", os.path.join(REPO, "parity", "refshim"),
+                 "-isystem", eigen,
+                 "-I", "/root/reference/cpp/include",
+                 "-I", "/root/reference/cpp/third"] + pkg +
+                ["/tmp/refbuild/libsdf_tracker_lib.a",
+                 "/tmp/refbuild/libcolor_lib.a",
+                 "/tmp/refbuild/libmc_lib.a", "-o", probe])
+
+        # deterministic twist perturbations of the GT trajectory
+        gt = tumio.read_trajectory(os.path.join(gdata, "gt_poses.txt"))
+        gt_pairs = [(ts, np.asarray(t)) for ts, _, t in gt]
+
+        def write_pert(mag_t, mag_deg, path):
+            from gradient_sdf_tpu.utils import se3
+            import jax.numpy as jnp
+
+            rng = np.random.RandomState(11)
+            rows = []
+            for ts, R, t in gt:
+                w = rng.randn(3)
+                w *= np.deg2rad(mag_deg) / np.linalg.norm(w)
+                v = rng.randn(3)
+                v *= mag_t / np.linalg.norm(v)
+                dR, dt = se3.se3_exp(
+                    jnp.asarray(np.concatenate([v, w]), jnp.float32))
+                Rn, tn = se3.se3_mul(jnp.asarray(R, jnp.float32),
+                                     jnp.asarray(t, jnp.float32), dR, dt)
+                rows.append((ts, np.asarray(Rn), np.asarray(tn)))
+            tumio.write_trajectory(path, rows)
+
+        def aligned_ate(path):
+            tr = tumio.read_trajectory(path)
+            r = ate_mod.evaluate_ate([(ts, t) for ts, _, t in tr], gt_pairs)
+            return float(r.rmse)
+
+        ba_rec_ok = True
+        for tag, mag_t, mag_deg in (("2mm", 0.002, 0.2), ("3mm", 0.003, 0.3)):
+            pert = os.path.join(gdata, f"barec_{tag}.txt")
+            write_pert(mag_t, mag_deg, pert)
+            ref_o = os.path.join(opts.work, f"barec_ref_{tag}") + "/"
+            our_o = os.path.join(opts.work, f"barec_ours_{tag}")
+            os.makedirs(ref_o, exist_ok=True)
+            r = run([probe, gdata + "/", ref_o, pert, "8", "0.01"])
+            ref_conv = "converge after" in r.stdout
+            ro = run_py(
+                "import runpy, sys\n"
+                f"sys.argv=['photoba','--input',{gdata!r},"
+                f"'--results',{our_o!r},'--data-type','synth',"
+                "'--voxel-size','0.01','--trunc','5','--key-frame','8',"
+                "'--pose-file','gt_poses.txt',"
+                f"'--ba-init-pose-file','barec_{tag}.txt',"
+                f"'--metrics-json',{our_o + '/m.json'!r}]\n"
+                "runpy.run_module('gradient_sdf_tpu.apps.photoba',"
+                "run_name='__main__')")
+            pre = "selected_frame_poses_before_optimization.txt"
+            post = "coarse_BA_poses_optimized.txt"
+            res = {
+                "pre_ate": aligned_ate(os.path.join(ref_o, pre)),
+                "ref_post_ate": aligned_ate(os.path.join(ref_o, post)),
+                "ours_post_ate": aligned_ate(os.path.join(our_o, post)),
+                "ref_converged": ref_conv,
+                "ours_converged": json.load(
+                    open(os.path.join(our_o, "m.json")))["ba_converged"],
+                "kf_stamps_match": (
+                    [l.split()[0] for l in open(os.path.join(ref_o, post))]
+                    == [l.split()[0]
+                        for l in open(os.path.join(our_o, post))]),
+            }
+            report[f"ba_recovery_{tag}"] = res
+            # gates: identical keyframe sets; OURS must RECOVER (post <
+            # pre) on both fixtures and land within 2.5 mm; the reference
+            # is reported, not pose-gated (its dist-half-step stop can
+            # freeze it early — 3.66 mm at 3 mm, see PARITY.md); on the
+            # 3 mm fixture ours must return converged=True
+            ba_rec_ok = (ba_rec_ok
+                         and res["kf_stamps_match"]
+                         and res["ours_post_ate"] < res["pre_ate"]
+                         and res["ours_post_ate"] <= 0.0025)
+            if tag == "3mm":
+                ba_rec_ok = ba_rec_ok and res["ours_converged"]
+
     # ---- 6 (opt-in). Box-world parity (creases + occlusion edges) --------
     box_ok = None
     if opts.box:
@@ -760,7 +886,8 @@ def main():
           and ba_conv_ok is not False
           and ate_ok is not False
           and long_ok is not False
-          and box_ok is not False)
+          and box_ok is not False
+          and ba_rec_ok is not False)
     print("PARITY " + ("OK" if ok else "FAIL"))
     return 0 if ok else 1
 
