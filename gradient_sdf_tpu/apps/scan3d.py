@@ -118,6 +118,15 @@ def build_parser():
                    help="force the warm start off (overrides an explicit "
                         "--warm-start; no preset enables warm starting "
                         "implicitly)")
+    p.add_argument("--cosine-fusion", dest="cosine_fusion",
+                   action="store_true",
+                   help="scale fused sample distances by the incidence "
+                        "cosine (point-to-plane TSDF; "
+                        "FusionConfig.cosine_correction). NON-parity "
+                        "accuracy experiment: halves the measured grazing "
+                        "bias on planar scenes (PARITY.md box stage / "
+                        "PERF_NOTES round 5) but does not yet rescue "
+                        "box-scene GN convergence")
     p.add_argument("--devices", type=int, default=0,
                    help="run the reconstruction multi-device on an N-device "
                         "(rays x blocks) jax.sharding.Mesh: tracking "
@@ -201,6 +210,7 @@ def run_scan(args) -> dict:
         fusion=dataclasses.replace(
             cfg.fusion, trunc_voxels=args.trunc, z_max=args.zmax,
             fusion_stride=fusion_stride,
+            cosine_correction=getattr(args, "cosine_fusion", False),
         ),
     )
 
@@ -339,8 +349,11 @@ def run_scan(args) -> dict:
     frame_iter = iter(loader.frames(first, last))
     nxt = next(frame_iter, None)
     # depth uploads are issued one frame AHEAD: frame i+1's host->device
-    # transfer is dispatched right after frame i's compute so it overlaps
-    # the device work (the native prefetcher already decoded the bytes)
+    # transfer is dispatched right after frame i's compute so it pipelines
+    # behind the device work (the native prefetcher already decoded the
+    # bytes). Measured round 5 on the remote TPU: the amortized upload
+    # cost in this slot is ~2 ms/frame; a worker-thread variant was
+    # measured SLOWER (+1.2 ms, thread overhead without extra overlap)
     nxt_depth = jnp.asarray(nxt.depth) if nxt is not None else None
     while nxt is not None:
         frame, depth = nxt, nxt_depth
@@ -467,9 +480,8 @@ def run_scan(args) -> dict:
             else:
                 invalid_frames.append(i)
 
-        # prefetch: decode and dispatch the NEXT frame's depth upload while
-        # this frame's program is still running on device (jnp.asarray
-        # enqueues the transfer without waiting for outstanding compute)
+        # prefetch: decode the NEXT frame and dispatch its depth upload
+        # while this frame's program runs on device
         T.tic()
         nxt = next(frame_iter, None)
         nxt_depth = jnp.asarray(nxt.depth) if nxt is not None else None

@@ -88,6 +88,14 @@ class FusionConfig:
     # footprint at VGA still covers every 1 cm band voxel — per-voxel
     # weights scale by ~1/s^2, means stay unbiased. Normals/gates still
     # evaluate on the full image.
+    cosine_correction: bool = False   # scale each sample's projective
+    # camera-z distance by the FALS-normal incidence cosine -> stores the
+    # point-to-plane distance (classic TSDF correction; floored at 0.1).
+    # NON-parity, default off: the reference stores the raw projective
+    # distance (MapGradPixelSdf.cpp:95-101), whose 1/cos(theta) grazing
+    # bias is the measured root cause of both implementations' tracking
+    # failure on the all-planar box scene (PARITY.md box stage; scan3d
+    # --cosine-fusion + tests/test_box_world.py for the measured rescue).
 
 
 @dataclasses.dataclass(frozen=True)

@@ -173,6 +173,24 @@ def _ray_samples(
         - z[:, None]
     )
 
+    if getattr(fcfg, "cosine_correction", False):
+        # OPT-IN accuracy correction (round 5, NON-parity — the reference
+        # stores the raw projective distance, MapGradPixelSdf.cpp:95-101):
+        # the camera-z difference overestimates the true signed distance
+        # by 1/cos(theta) at incidence angle theta, which biases the
+        # stored field on grazing surfaces — the measured root cause of
+        # BOTH implementations' tracking failure on the all-planar box
+        # scene (PARITY.md box stage). Scaling by the FALS-normal
+        # incidence cosine stores the point-to-plane distance instead
+        # (classic TSDF correction, e.g. Bylow et al. 2013). Floored at
+        # 0.1 so near-silhouette samples cannot collapse the whole band
+        # to zero distance.
+        n_norm = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+        h_norm = jnp.sqrt(hx * hx + hy * hy + 1.0)
+        cosang = jnp.abs(nx * hx + ny * hy + nz) / jnp.maximum(
+            n_norm * h_norm, 1e-12)
+        sdf = sdf * jnp.clip(cosang, 0.1, 1.0)[:, None]
+
     # integration weight (Sdf.h:76-85): 1 behind surface, linear drop in front
     w = jnp.where(sdf <= 0.0, 1.0, jnp.maximum(0.0, 1.0 - sdf / T))
     w = jnp.where(rays.valid[:, None], w, 0.0)

@@ -105,6 +105,54 @@ def test_box_scan3d_gt_fusion_and_analysis(tmp_path):
     assert near["median"] < 15.0
 
 
+def test_cosine_correction_halves_grazing_bias():
+    """FusionConfig.cosine_correction (opt-in, non-parity): storing the
+    point-to-plane distance must cut the systematic residual BIAS on the
+    grazing floor plane — the measured root cause of box-scene tracking
+    failure (PARITY.md box stage). Pins the round-5 measurement: floor
+    phi mean 6.3 -> 3.7 mm at 320x240 (asserted as a >25% reduction)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from gradient_sdf_tpu.config import preset
+    from gradient_sdf_tpu.ops import fusion, normals, query
+    from gradient_sdf_tpu.ops import voxel_grid as vg
+
+    cfg = preset("synth")
+    gcfg = dataclasses.replace(cfg.grid, voxel_size=0.02)
+    world = synth.default_boxes(seed=2)
+    K2 = synth.KINECT_K.copy()
+    K2[0] *= 0.5
+    K2[1] *= 0.5
+    W2, H2 = 320, 240
+    poses = synth.orbit_poses(n=2, radius=1.8, height_range=(0.35, 0.6),
+                              target=np.array([0.0, 0.0, -0.25]),
+                              arc=np.deg2rad(4.0))
+    cache = normals.build_cache(W2, H2, K2, window=5)
+    R0, t0 = map(jnp.asarray, poses[0])
+    d0 = synth.render_depth_boxes(world, R0, t0, K2, W2, H2)
+    d = np.asarray(d0)
+    m = d > 0
+    v, u = np.meshgrid(np.arange(H2), np.arange(W2), indexing="ij")
+    fx, fy, cx, cy = K2[0, 0], K2[1, 1], K2[0, 2], K2[1, 2]
+    pc = np.stack([(u - cx) / fx * d, (v - cy) / fy * d, d], -1)[m]
+    pw = se3.se3_apply(R0, t0, jnp.asarray(pc, jnp.float32))
+    _, g_t = synth.box_sdf(world, pw)
+    floor = np.asarray(g_t)[:, 2] > 0.9
+
+    means = {}
+    for cc in (False, True):
+        fcfg = dataclasses.replace(cfg.fusion, trunc_voxels=5.0,
+                                   cosine_correction=cc)
+        grid = vg.create(gcfg)
+        grid = fusion.fuse_frame(grid, d0, cache, R0, t0, gcfg, fcfg)
+        phi, _, w = query.tsdf_grad(grid, pw, gcfg, fcfg)
+        sel = floor & (np.asarray(w) > 0)
+        means[cc] = abs(float(np.asarray(phi)[sel].mean()))
+    assert means[True] < 0.75 * means[False], means
+
+
 def test_gradient_analysis_fd_sign_convention(tmp_path):
     """FD gradients of the STORED field (negative in observed free space)
     point inward UNFLIPPED: on a perfect synthetic fusion both stored and
